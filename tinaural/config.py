@@ -1,0 +1,75 @@
+"""Render configuration.
+
+The reference (mbjd/binaural-audio-synthesis) exposes its knobs as function
+arguments / argparse flags (SURVEY.md §5 "Config / flag system"; the
+reference mount was empty at survey time, see SURVEY.md §0). The TPU rebuild
+threads a single frozen dataclass through the public API instead: configs
+must be hashable so they can be `jax.jit` static arguments and never force
+recompilation beyond their own identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Immutable, hashable render settings (jit-static).
+
+    Attributes:
+      sample_rate: audio sample rate in Hz. HRIR tables are resampled/
+        validated against this at load time, not render time.
+      interp: HRTF interpolation mode on the spherical grid —
+        ``"nearest"`` or ``"bilinear"`` (BASELINE.json:8).
+      apply_itd: re-apply the interaural time difference as a
+        frequency-domain phase ramp from the table's per-direction delay
+        track (BASELINE.json:8 "fractional-delay ITD"). Only meaningful
+        for tables loaded with ``decompose=True``; a no-op otherwise
+        (delays are all zero).
+      apply_ild: re-apply the interaural level difference as a per-ear
+        broadband gain from the table's gain track (BASELINE.json:8
+        "ILD gain"). No-op for undecomposed tables (gains are all one).
+      block_size: hop size in samples for trajectory / scene block
+        convolution (BASELINE.json:9). Must be a power of two.
+      stream_block: block size for the low-latency streaming renderer
+        (BASELINE.json:11). Must be a power of two; latency = this many
+        samples.
+      crossfade: crossfade the per-block filters of a moving source to
+        avoid zipper noise (BASELINE.json:9 "crossfaded block conv").
+      use_pallas: route the fused complex-multiply + phase-ramp + gain
+        stage through the Pallas TPU kernel instead of plain jnp ops.
+        The jnp path is a permanent fallback (SURVEY.md §7 M6).
+      pallas_interpret: run the Pallas kernel in interpreter mode (CPU
+        testing only).
+      out_length: ``"full"`` → N + taps - 1 output samples (linear
+        convolution length), ``"same"`` → N samples (input length).
+    """
+
+    sample_rate: int = 44100
+    interp: str = "bilinear"
+    apply_itd: bool = True
+    apply_ild: bool = True
+    block_size: int = 1024
+    stream_block: int = 256
+    crossfade: bool = True
+    use_pallas: bool = False
+    pallas_interpret: bool = False
+    out_length: str = "full"
+
+    def __post_init__(self):
+        if self.interp not in ("nearest", "bilinear"):
+            raise ValueError(f"interp must be nearest|bilinear, got {self.interp!r}")
+        if self.out_length not in ("full", "same"):
+            raise ValueError(f"out_length must be full|same, got {self.out_length!r}")
+        for name in ("block_size", "stream_block"):
+            v = getattr(self, name)
+            if v <= 0 or (v & (v - 1)) != 0:
+                raise ValueError(f"{name} must be a positive power of two, got {v}")
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

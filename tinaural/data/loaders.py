@@ -1,0 +1,167 @@
+"""HRIR dataset loaders (component C1 — SURVEY.md §2; BASELINE.json:5
+"load HRIR set", :7 "KEMAR HRIR pair").
+
+Three sources, all normalised into one `HrirTable`:
+
+  * ``"synthetic"`` — the deterministic spherical-head fixture
+    (`tinaural.data.synthetic`); always available, used by the test suite
+    and demos since no real data is downloadable here (SURVEY.md §7
+    hard-part 5).
+  * A directory in MIT KEMAR layout — either the *compact* set
+    (``elev{E}/H{E}e{AAA}a.wav`` stereo 128-tap WAVs, azimuths 0–180 with
+    the far side obtained by mirroring + ear swap) or the *full* set
+    (``elev{E}/{L,R}{E}e{AAA}a.dat`` 512-tap 16-bit big-endian raw files).
+  * A ``.sofa`` file (SimpleFreeFieldHRIR convention, via h5py), accepted
+    when its measurement positions form per-elevation rings of equally
+    spaced azimuths (true of ring-measured sets like KEMAR-in-SOFA).
+
+These real-format paths are structurally tested against fixture files
+written by the test suite; they have not been validated on real downloads
+(no network — flagged per SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from .grids import SphericalGrid, kemar_grid
+from .synthetic import synthesize_hrirs
+from .table import HrirTable, build_table
+from .wav import read_wav
+
+KEMAR_SAMPLE_RATE = 44100
+
+
+def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
+                  sample_rate: int = KEMAR_SAMPLE_RATE, taps: int = 128,
+                  noise: float = 1e-4, seed: int = 0) -> HrirTable:
+    """Load an HRIR set into an `HrirTable` (reference entry point (a)).
+
+    ``source`` is ``"synthetic"``, a KEMAR-layout directory, or a ``.sofa``
+    path. ``sample_rate``/``taps``/``noise``/``seed`` apply to the
+    synthetic source only; file sources carry their own rate/length.
+    """
+    if source == "synthetic":
+        h, grid = synthesize_hrirs(sample_rate=sample_rate, taps=taps,
+                                   noise=noise, seed=seed)
+        return build_table(h, grid, sample_rate, decompose=decompose)
+    if str(source).endswith(".sofa"):
+        h, grid, sr = _load_sofa(source)
+        return build_table(h, grid, sr, decompose=decompose)
+    if os.path.isdir(source):
+        h, grid = _load_kemar_dir(source)
+        return build_table(h, grid, KEMAR_SAMPLE_RATE, decompose=decompose)
+    raise FileNotFoundError(f"unknown HRIR source {source!r}")
+
+
+# ---------------------------------------------------------------- KEMAR dir
+
+_ELEV_DIR_RE = re.compile(r"^elev(-?\d+)$")
+
+
+def _kemar_read_pair(root: str, elev: int, az_deg: float) -> np.ndarray | None:
+    """Read the (2, T) HRIR pair at (elev, az) from a KEMAR tree, or None.
+
+    Handles the compact stereo-WAV layout and the full L/R .dat layout.
+    """
+    azi = int(round(az_deg)) % 360
+    d = os.path.join(root, f"elev{elev}")
+    wav = os.path.join(d, f"H{elev}e{azi:03d}a.wav")
+    if os.path.exists(wav):
+        _, data = read_wav(wav)
+        if data.ndim != 2 or data.shape[1] != 2:
+            raise ValueError(f"{wav}: expected stereo HRIR pair")
+        return data.T  # (2, T)
+    ldat = os.path.join(d, f"L{elev}e{azi:03d}a.dat")
+    rdat = os.path.join(d, f"R{elev}e{azi:03d}a.dat")
+    if os.path.exists(ldat) and os.path.exists(rdat):
+        read = lambda p: np.fromfile(p, dtype=">i2").astype(np.float64) / 2.0**15
+        return np.stack([read(ldat), read(rdat)])
+    return None
+
+
+def _load_kemar_dir(root: str) -> tuple[np.ndarray, SphericalGrid]:
+    elevs = sorted(
+        int(m.group(1))
+        for name in os.listdir(root)
+        if (m := _ELEV_DIR_RE.match(name)) and os.path.isdir(os.path.join(root, name))
+    )
+    if not elevs:
+        raise FileNotFoundError(f"{root}: no elev* subdirectories")
+    full = kemar_grid()
+    counts = []
+    for e in elevs:
+        idx = np.where(full.elevs == float(e))[0]
+        if len(idx) != 1:
+            raise ValueError(f"{root}: elevation {e} not in the KEMAR grid")
+        counts.append(int(full.az_counts[idx[0]]))
+    grid = SphericalGrid(elevs=np.array(elevs, dtype=np.float64),
+                         az_counts=np.array(counts, dtype=np.int64))
+
+    pairs: list[list[np.ndarray]] = []
+    taps = None
+    for e_i, e in enumerate(elevs):
+        ring = []
+        for az in grid.ring_azimuths(e_i):
+            pair = _kemar_read_pair(root, e, az)
+            if pair is None:
+                # KEMAR ships azimuths 0..180; θ>180 is the mirror of
+                # 360−θ with ears swapped (head symmetry).
+                mirror = _kemar_read_pair(root, e, 360.0 - az)
+                if mirror is None:
+                    raise FileNotFoundError(
+                        f"{root}: missing HRIR for elev {e} az {az} (and mirror)")
+                pair = mirror[::-1]
+            if taps is None:
+                taps = pair.shape[1]
+            elif pair.shape[1] != taps:
+                raise ValueError(f"{root}: inconsistent tap counts")
+            ring.append(pair)
+        pairs.append(ring)
+
+    h = np.zeros((grid.n_elevs, grid.a_max, 2, taps))
+    for e_i, ring in enumerate(pairs):
+        for a_i, pair in enumerate(ring):
+            h[e_i, a_i] = pair
+    return h, grid
+
+
+# -------------------------------------------------------------------- SOFA
+
+
+def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        ir = np.asarray(f["Data.IR"])  # (M, 2, T)
+        pos = np.asarray(f["SourcePosition"])  # (M, 3): az, el, r (deg)
+        sr = int(np.asarray(f["Data.SamplingRate"]).reshape(-1)[0])
+    if ir.ndim != 3 or ir.shape[1] != 2:
+        raise ValueError(f"{path}: Data.IR must be (M, 2, T)")
+    az = pos[:, 0] % 360.0
+    el = pos[:, 1]
+
+    elevs = np.unique(np.round(el, 3))
+    counts, rings = [], []
+    for e in elevs:
+        sel = np.where(np.round(el, 3) == e)[0]
+        order = np.argsort(az[sel])
+        sel = sel[order]
+        ring_az = az[sel]
+        c = len(sel)
+        spacing = 360.0 / c
+        if c > 1 and not np.allclose(ring_az, np.arange(c) * spacing, atol=spacing * 0.05):
+            raise ValueError(
+                f"{path}: elevation ring {e} is not equally spaced from az 0; "
+                "only ring-structured SOFA grids are supported")
+        counts.append(c)
+        rings.append(sel)
+    grid = SphericalGrid(elevs=elevs.astype(np.float64),
+                         az_counts=np.array(counts, dtype=np.int64))
+    h = np.zeros((grid.n_elevs, grid.a_max, 2, ir.shape[-1]))
+    for e_i, sel in enumerate(rings):
+        h[e_i, : len(sel)] = ir[sel]
+    return h, grid, sr

@@ -1,0 +1,216 @@
+"""The HRIR table: the framework's central data structure.
+
+The reference keeps HRIRs as per-direction NumPy arrays and indexes them in
+Python (SURVEY.md §3.1; reference unreadable at survey time, §0). The TPU
+rebuild instead materialises ONE dense, padded device array per dataset —
+the "HBM-resident HRIR spectrum table" of BASELINE.json:5 — so that every
+render-time direction lookup is a `jnp.take` gather with precomputed index
+math and zero host involvement.
+
+Raggedness (KEMAR's per-elevation azimuth counts) is resolved at load time
+by padding the azimuth axis to ``A_max`` (SURVEY.md §7 hard-part 2).
+
+Optionally the table is *decomposed* at load time into
+``gain × aligned-shape × fractional-delay`` per (direction, ear):
+interpolating raw HRIRs with different onset times comb-filters, so the
+standard fix (cf. PAPERS.md TOA-estimation entry) is to time-align the
+impulse responses, interpolate the aligned shapes, and re-apply the delay as
+a frequency-domain phase ramp (BASELINE.json:8 "fractional-delay ITD") and
+the level as a scalar per-ear gain ("ILD gain"). Delay extraction uses a
+weighted least-squares fit to the unwrapped phase slope.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from flax import struct
+
+from .grids import SphericalGrid
+
+
+@struct.dataclass
+class HrirTable:
+    """Dense padded HRIR dataset + grid metadata (a JAX pytree).
+
+    Array fields may be NumPy (host) or jnp (device) arrays; renderers
+    `device_put` the whole table once at construction.
+
+    h:         (E, A_max, 2, T) float32 — time-domain HRIRs. If
+               ``decomposed``, these are time-aligned, unit-energy shapes;
+               otherwise raw measurements.
+    delays:    (E, A_max, 2) float32 — per-ear time of arrival in SAMPLES
+               (zeros if not decomposed).
+    gains:     (E, A_max, 2) float32 — per-ear broadband gain (ones if not
+               decomposed).
+    elevs:     (E,) float32 — ring elevations, degrees, increasing.
+    az_counts: (E,) int32 — azimuths measured per ring.
+    valid:     (E, A_max) float32 — 1.0 where the cell holds real data.
+    """
+
+    h: Any
+    delays: Any
+    gains: Any
+    elevs: Any
+    az_counts: Any
+    valid: Any
+    sample_rate: int = struct.field(pytree_node=False, default=44100)
+    decomposed: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def n_elevs(self) -> int:
+        return self.h.shape[0]
+
+    @property
+    def a_max(self) -> int:
+        return self.h.shape[1]
+
+    @property
+    def taps(self) -> int:
+        return self.h.shape[-1]
+
+    def grid(self) -> SphericalGrid:
+        return SphericalGrid(
+            elevs=np.asarray(self.elevs, dtype=np.float64),
+            az_counts=np.asarray(self.az_counts, dtype=np.int64),
+        )
+
+
+def estimate_delays(h: np.ndarray, f_lo: float = 300.0, f_hi: float = 6000.0,
+                    sample_rate: int = 44100) -> np.ndarray:
+    """Fractional time-of-arrival per impulse response, in samples.
+
+    Weighted least-squares affine fit to the unwrapped rfft phase over
+    [f_lo, f_hi] (weights = |H|²); the slope is the group delay. An affine
+    fit (not through the origin) sidesteps DC sign/phase ambiguity.
+
+    h: (..., T) → returns (...) float64 delays.
+    """
+    T = h.shape[-1]
+    H = np.fft.rfft(h, axis=-1)
+    k = np.arange(H.shape[-1])
+    freqs = k * (sample_rate / T)
+    band = (freqs >= f_lo) & (freqs <= f_hi)
+
+    phase = np.unwrap(np.angle(H), axis=-1)[..., band]
+    w = (np.abs(H) ** 2)[..., band] + 1e-20
+    kk = k[band].astype(np.float64)
+
+    # Weighted affine LS: phase ≈ a + b·k  ⇒  delay = -b·T/(2π).
+    sw = w.sum(-1)
+    mk = (w * kk).sum(-1) / sw
+    mp = (w * phase).sum(-1) / sw
+    cov = (w * (kk - mk[..., None]) * (phase - mp[..., None])).sum(-1)
+    var = (w * (kk - mk[..., None]) ** 2).sum(-1) + 1e-20
+    b = cov / var
+    return -b * T / (2.0 * np.pi)
+
+
+# Phase taper for the *sub-sample* part of a delay, in units of f/fs: full
+# delay phase below TAPER_LO·fs, smoothly (raised-cosine) reduced to zero
+# above TAPER_HI·fs. Rationale: a hard exp(-2πj·f·d) ramp with fractional d
+# is discontinuous at Nyquist, which (a) destroys the Nyquist bin and
+# (b) makes the implied delay kernel decay like 1/m, so block-partitioned
+# and direct renders alias differently (~-27 dB disagreement measured).
+# Sub-sample ITD phase at the top of the band is not a perceptual cue, so
+# tapering it out is standard. The taper is phase-only (|ramp| = 1, shifts
+# invert exactly) and applied ONLY to the ≤0.5-sample fractional remainder:
+# the integer part uses the exact exp(-2πj·k·D/n) shift, which is
+# FFT-size-consistent and Hermitian at every size. Keeping the tapered part
+# sub-sample keeps the delay kernel compact (a few samples of spread), so
+# block frames see no aliasing.
+TAPER_LO = 0.40
+TAPER_HI = 0.475
+
+
+def _phase_taper(fnorm: np.ndarray) -> np.ndarray:
+    """Smooth 1→0 raised-cosine window over [TAPER_LO, TAPER_HI] of f/fs."""
+    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
+    return 0.5 * (1.0 + np.cos(np.pi * t))
+
+
+def delay_ramp(n_fft: int, shift_samples: np.ndarray) -> np.ndarray:
+    """rfft-bin multiplier implementing a fractional delay of ``d`` samples.
+
+    ``exp(-2πj·f·(round(d) + taper(f)·frac(d)))`` sampled at the rfft bins
+    of ``n_fft`` (see taper rationale above). The ramp is a function of
+    absolute frequency only, so ramps built at different FFT sizes agree —
+    block-partitioned, streaming and direct renders stay consistent.
+
+    shift_samples: (...) → (..., n_fft//2 + 1) complex, unit magnitude.
+    """
+    d = np.asarray(shift_samples, dtype=np.float64)[..., None]
+    di = np.round(d)
+    df = d - di
+    fnorm = np.arange(n_fft // 2 + 1) / n_fft  # f/fs in [0, 0.5]
+    phase = -2.0 * np.pi * fnorm * (di + _phase_taper(fnorm) * df)
+    return np.exp(1j * phase)
+
+
+def fractional_shift(h: np.ndarray, shift_samples: np.ndarray) -> np.ndarray:
+    """Circularly shift each response by a (fractional) number of samples
+    via a frequency-domain phase ramp. Positive shift delays the signal.
+
+    h: (..., T), shift_samples: (...) → (..., T).
+    """
+    T = h.shape[-1]
+    H = np.fft.rfft(h, axis=-1)
+    return np.fft.irfft(H * delay_ramp(T, shift_samples), n=T, axis=-1)
+
+
+# Samples of pre-onset slack kept when time-aligning HRIRs. The estimated
+# delay is a *group* delay; the response's rising edge starts a few samples
+# earlier and carries real energy. Aligning by the full delay would park
+# that edge exactly on the circular-wrap boundary of the T-sample frame,
+# and zero-padding the stored shape to other FFT sizes would then shred
+# its low-frequency spectrum (measured: 2× magnitude error at 440 Hz).
+# So shapes are aligned by (delay − ALIGN_GUARD) and the render path
+# re-applies the same guarded amount — the stored `delays` stay the true
+# TOAs, which is what ITD interpolation needs.
+ALIGN_GUARD = 8.0
+
+
+def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):
+    """Split raw HRIRs into (aligned unit-energy shapes, delays, gains).
+
+    h: (E, A, 2, T); valid: (E, A) → (aligned, delays, gains) with
+    delays/gains of shape (E, A, 2). Aligned shapes keep their onset at
+    ~ALIGN_GUARD samples. Invalid cells get zero delay, unit gain, zero
+    shape.
+    """
+    delays = estimate_delays(h, sample_rate=sample_rate)  # (E, A, 2)
+    delays = delays * valid[..., None]
+    aligned = fractional_shift(h, -(delays - ALIGN_GUARD))
+    gains = np.sqrt(np.sum(aligned**2, axis=-1))  # (E, A, 2)
+    gains_safe = np.where(gains > 1e-12, gains, 1.0)
+    aligned = aligned / gains_safe[..., None]
+    gains = np.where(valid[..., None] > 0, gains_safe, 1.0)
+    return aligned, delays, gains
+
+
+def build_table(h: np.ndarray, grid: SphericalGrid, sample_rate: int,
+                decompose: bool = True) -> HrirTable:
+    """Assemble an `HrirTable` from a dense HRIR array + grid metadata."""
+    E, A = grid.n_elevs, grid.a_max
+    if h.shape[:3] != (E, A, 2):
+        raise ValueError(f"h shape {h.shape} does not match grid ({E},{A},2,T)")
+    valid = grid.validity_mask().astype(np.float64)
+    h = h * valid[..., None, None]
+    if decompose:
+        aligned, delays, gains = decompose_table(h, valid, sample_rate)
+        h_out, d_out, g_out = aligned, delays, gains
+    else:
+        h_out = h
+        d_out = np.zeros((E, A, 2))
+        g_out = np.ones((E, A, 2))
+    return HrirTable(
+        h=h_out.astype(np.float32),
+        delays=d_out.astype(np.float32),
+        gains=g_out.astype(np.float32),
+        elevs=np.asarray(grid.elevs, dtype=np.float32),
+        az_counts=np.asarray(grid.az_counts, dtype=np.int32),
+        valid=valid.astype(np.float32),
+        sample_rate=int(sample_rate),
+        decomposed=bool(decompose),
+    )
