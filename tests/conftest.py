@@ -8,10 +8,21 @@ run anywhere, deterministically, and the 8 virtual devices let the
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the ambient environment points at a TPU (this machine
+# exports JAX_PLATFORMS=axon); override by exporting TINAURAL_TEST_PLATFORM.
+# Env vars alone are not enough — a pytest plugin may import jax before this
+# conftest — so also use the config API, which works until backend init.
+_platform = os.environ.get("TINAURAL_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

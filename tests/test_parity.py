@@ -1,0 +1,169 @@
+"""M2–M5 + M7 tests: TPU (JAX) paths vs the CPU golden reference.
+
+The core suite of SURVEY.md §4.2: for each BASELINE.json config, run the
+jitted path and the NumPy oracle on the same inputs and assert
+SNR ≥ 60 dB (BASELINE.json:5). Tests run on CPU-JAX in f32; the bound is
+precision-limited (~90+ dB observed), far above the gate.
+"""
+
+import numpy as np
+import pytest
+
+from tinaural.config import RenderConfig
+from tinaural.models import BinauralRenderer, Stream
+from tinaural.reference import golden
+
+from conftest import snr_db
+
+GATE_DB = 60.0
+
+
+@pytest.fixture(scope="module")
+def rend(table):
+    return BinauralRenderer(table, RenderConfig())
+
+
+def test_config1_static_on_grid(table, rng):
+    """Config 1: static render, on-grid direction, direct FFT conv."""
+    x = rng.standard_normal(3000)
+    for cfg in (RenderConfig(interp="nearest"), RenderConfig()):
+        r = BinauralRenderer(table, cfg)
+        y = np.asarray(r.render(x, 30.0, 0.0))
+        ref = golden.render_static(table, x, 30.0, 0.0, cfg)
+        assert y.shape == ref.shape
+        assert snr_db(ref, y) > GATE_DB
+
+
+def test_config2_off_grid_directions(table, rng):
+    """Config 2: bilinear interpolation + fractional ITD + ILD, off-grid."""
+    x = rng.standard_normal(2000)
+    r = BinauralRenderer(table, RenderConfig())
+    for az, el in [(32.7, 4.3), (359.2, -33.0), (181.0, 77.7), (90.0, 0.0),
+                   (271.5, -40.0), (45.0, 90.0)]:
+        y = np.asarray(r.render(x, az, el))
+        ref = golden.render_static(table, x, az, el, RenderConfig())
+        assert snr_db(ref, y) > GATE_DB, (az, el)
+
+
+def test_config2_flags_and_nearest(table, rng):
+    x = rng.standard_normal(1000)
+    for cfg in (RenderConfig(apply_itd=False), RenderConfig(apply_ild=False),
+                RenderConfig(interp="nearest"),
+                RenderConfig(apply_itd=False, apply_ild=False, interp="nearest")):
+        y = np.asarray(BinauralRenderer(table, cfg).render(x, 12.3, 45.6))
+        ref = golden.render_static(table, x, 12.3, 45.6, cfg)
+        assert snr_db(ref, y) > GATE_DB, cfg
+
+
+def test_config1_raw_table(raw_table, rng):
+    """Undecomposed table: pure measured-HRIR convolution."""
+    x = rng.standard_normal(1000)
+    cfg = RenderConfig(interp="nearest")
+    y = np.asarray(BinauralRenderer(raw_table, cfg).render(x, 100.0, -10.0))
+    ref = golden.render_static(raw_table, x, 100.0, -10.0, cfg)
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_config3_trajectory(table, rng):
+    """Config 3: moving source, crossfaded OLA block convolution."""
+    cfg = RenderConfig(block_size=256)
+    x = rng.standard_normal(2000)  # non-multiple of block size
+    nb = -(-2000 // 256)
+    dirs = np.stack([np.linspace(300.0, 60.0, nb) % 360.0,
+                     np.linspace(-30.0, 80.0, nb)], axis=1)
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert y.shape == ref.shape
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_config3_no_crossfade(table, rng):
+    cfg = RenderConfig(block_size=256, crossfade=False)
+    x = rng.standard_normal(1024)
+    dirs = np.array([[10.0, 0.0], [50.0, 10.0], [90.0, 20.0], [130.0, 30.0]])
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_config4_scene(table, rng):
+    """Config 4: multi-source scene, batched conv + stereo mixdown."""
+    cfg = RenderConfig(block_size=256)
+    S, N = 8, 1500
+    xs = rng.standard_normal((S, N))
+    sdirs = np.stack([rng.uniform(0, 360, S), rng.uniform(-40, 90, S)], axis=1)
+    y = np.asarray(BinauralRenderer(table, cfg).render_scene(xs, sdirs))
+    ref = golden.render_scene(table, xs, sdirs, cfg)
+    assert y.shape == ref.shape
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_config4_scene_trajectories(table, rng):
+    """Scene where every source moves independently."""
+    cfg = RenderConfig(block_size=256)
+    S, nb = 4, 3
+    xs = rng.standard_normal((S, nb * 256))
+    dirs = np.stack([rng.uniform(0, 360, (S, nb)), rng.uniform(-40, 90, (S, nb))],
+                    axis=2)
+    y = np.asarray(BinauralRenderer(table, cfg).render_scene(xs, dirs))
+    ref = golden.render_scene(table, xs, dirs, cfg)
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_config5_stream_push(table, rng):
+    """Config 5: streaming push(), per-block head rotation, vs golden."""
+    cfg = RenderConfig(stream_block=256)
+    s = Stream(table, cfg)
+    gs = golden.GoldenStream(table, cfg)
+    x = rng.standard_normal(6 * 256)
+    for i in range(6):
+        az, el = 10.0 * i + 3.3, 5.0 * i - 10.0
+        xb = x[i * 256 : (i + 1) * 256]
+        y = np.asarray(s.push(xb, az, el))
+        ref = gs.push(xb, az, el)
+        assert snr_db(ref, y) > GATE_DB, f"block {i}"
+
+
+def test_config5_stream_offline_scan(table, rng):
+    """lax.scan offline streaming == golden block loop."""
+    cfg = RenderConfig(stream_block=256)
+    nb = 8
+    x = rng.standard_normal(nb * 256)
+    dirs = np.stack([np.linspace(0, 90, nb), np.zeros(nb)], axis=1)
+    s = Stream(table, cfg)
+    y = np.asarray(s.render_offline(x, dirs))
+    gs = golden.GoldenStream(table, cfg)
+    ref = np.concatenate(
+        [gs.push(x[i * 256 : (i + 1) * 256], *dirs[i]) for i in range(nb)], axis=1)
+    assert y.shape == ref.shape
+    assert snr_db(ref, y) > GATE_DB
+
+
+def test_stream_state_checkpoint_resume(table, rng):
+    """Stream state get/set: a resumed stream is bit-identical."""
+    cfg = RenderConfig(stream_block=256)
+    x = rng.standard_normal(4 * 256)
+    s = Stream(table, cfg)
+    for i in range(2):
+        s.push(x[i * 256 : (i + 1) * 256], 10.0, 0.0)
+    saved = jax_to_np_state = tuple(np.asarray(a) for a in s.state)
+    a = np.asarray(s.push(x[2 * 256 : 3 * 256], 20.0, 0.0))
+    from tinaural.models import StreamState
+
+    s.state = StreamState(*saved)
+    b = np.asarray(s.push(x[2 * 256 : 3 * 256], 20.0, 0.0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_jit_no_recompile_across_directions(table, rng):
+    """Direction values are traced: rendering at new az/el reuses the
+    compiled executable (SURVEY.md §3.2 rebuild boundary)."""
+    from tinaural.models.renderer import _static_fn
+
+    r = BinauralRenderer(table, RenderConfig())
+    x = rng.standard_normal(1024)
+    r.render(x, 10.0, 0.0)
+    misses0 = _static_fn._cache_size()
+    r.render(x, 123.4, -20.0)
+    r.render(x, 77.7, 55.5)
+    assert _static_fn._cache_size() == misses0

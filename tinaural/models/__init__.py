@@ -1,0 +1,14 @@
+"""Renderer models (L4 of SURVEY.md §1)."""
+
+from .renderer import BinauralRenderer, render, render_scene, render_trajectory
+from .streaming import Stream, StreamState, init_state
+
+__all__ = [
+    "BinauralRenderer",
+    "render",
+    "render_scene",
+    "render_trajectory",
+    "Stream",
+    "StreamState",
+    "init_state",
+]

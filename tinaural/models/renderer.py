@@ -1,0 +1,193 @@
+"""TPU renderers (L4 of SURVEY.md §1: components C9–C11).
+
+The reference's render paths are Python loops over NumPy calls (SURVEY.md
+§3.2–3.4; reference unreadable at survey time, §0). Here each mode is ONE
+jitted device function (BASELINE.json:5): direction lookup is gather+lerp
+over the HBM-resident table, per-block filters assemble as a batched FFT,
+blocks and sources are `vmap` axes, and the overlap-add is the k-stream
+reshape reduction of `tinaural.ops.ola` — no Python in the hot path, and
+direction values are traced (changing az/el never recompiles).
+
+Numerical semantics are defined by `tinaural.reference.golden`; every
+public method here must match it to ≥60 dB SNR (BASELINE.json:5) — in
+practice f32-vs-f64 precision, ~90+ dB.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..data.table import HrirTable
+from ..ops.filters import DELAY_PAD, effective_filter, next_pow2
+from ..ops.interp import interpolate
+from ..ops.ola import overlap_add
+
+
+def _t_eff(table: HrirTable) -> int:
+    return table.h.shape[-1] + DELAY_PAD
+
+
+# --------------------------------------------------------------- jitted core
+
+
+@partial(jax.jit, static_argnames=("config", "n"))
+def _static_fn(table: HrirTable, x: jax.Array, az: jax.Array, el: jax.Array,
+               config: RenderConfig, n: int) -> jax.Array:
+    """Direct FFT convolution at one direction → (2, n) circular frame."""
+    h, d, g = interpolate(table, az, el, config)
+    h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(h_eff, n=n)
+    return jnp.fft.irfft(X[None, :] * H, n=n)
+
+
+def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
+                     config: RenderConfig) -> jax.Array:
+    """Crossfaded OLA block convolution. xb: (nb, B); dirs: (nb, 2) →
+    (2, (nb-1)·B + n_fft)."""
+    taps = table.h.shape[-1]
+    B = xb.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        dirs[:, 0], dirs[:, 1])
+    h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
+    Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
+
+    if config.crossfade:
+        ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
+        Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # previous block's filter
+        Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
+        Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
+        Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+    else:
+        Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
+    y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
+    return overlap_add(jnp.moveaxis(y, 0, 1), B)  # (2, out)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _trajectory_fn(table, xb, dirs, config):
+    return _trajectory_core(table, xb, dirs, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _scene_fn(table, xbs, dirs, config):
+    """Batched scene render + stereo mixdown. xbs: (S, nb, B); dirs:
+    (S, nb, 2) → (2, out). The source axis is a pure vmap — the same axis
+    `tinaural.parallel` shards across devices (BASELINE.json:10)."""
+    y = jax.vmap(lambda xb, dr: _trajectory_core(table, xb, dr, config))(xbs, dirs)
+    return jnp.sum(y, axis=0)
+
+
+# ------------------------------------------------------------- host wrapper
+
+
+class BinauralRenderer:
+    """Stateless renderer facade: holds the device-resident table + config
+    and exposes the reference's entry points (BASELINE.json:5).
+
+    Shapes are bucketed (signals pad to powers of two, blocks to whole
+    block counts) so each mode compiles O(1) times per bucket
+    (SURVEY.md §7 hard-part 4).
+    """
+
+    def __init__(self, table: HrirTable, config: RenderConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.table = jax.device_put(
+            table.replace(
+                h=jnp.asarray(table.h, dtype=jnp.float32),
+                delays=jnp.asarray(table.delays, dtype=jnp.float32),
+                gains=jnp.asarray(table.gains, dtype=jnp.float32),
+                elevs=jnp.asarray(table.elevs, dtype=jnp.float32),
+                az_counts=jnp.asarray(table.az_counts, dtype=jnp.int32),
+                valid=jnp.asarray(table.valid, dtype=jnp.float32),
+            ))
+
+    # -- helpers
+
+    @property
+    def t_eff(self) -> int:
+        return _t_eff(self.table)
+
+    def _out_len(self, n_samples: int) -> int:
+        if self.config.out_length == "full":
+            return n_samples + self.t_eff - 1
+        return n_samples
+
+    def _blockify(self, x: np.ndarray) -> tuple[jnp.ndarray, int]:
+        """Pad (..., N) to whole blocks → ((..., nb, B) f32, N)."""
+        B = self.config.block_size
+        x = np.asarray(x, dtype=np.float32)
+        N = x.shape[-1]
+        nb = -(-N // B)
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nb * B - N)]
+        xb = np.pad(x, pad).reshape(*x.shape[:-1], nb, B)
+        return jnp.asarray(xb), N
+
+    # -- entry point (b): static render
+
+    def render(self, x, az: float, el: float) -> jax.Array:
+        """Render a mono signal at a fixed direction → (2, out_len)."""
+        x = np.asarray(x, dtype=np.float32)
+        N = x.shape[-1]
+        n = next_pow2(N + self.t_eff - 1)
+        xp = np.zeros(n, dtype=np.float32)  # pow2 bucket: O(log N) compiles
+        xp[:N] = x
+        y = _static_fn(self.table, jnp.asarray(xp), jnp.float32(az),
+                       jnp.float32(el), self.config, n)
+        return y[:, : self._out_len(N)]
+
+    # -- entry point (c): trajectory render
+
+    def render_trajectory(self, x, dirs) -> jax.Array:
+        """Moving-source render. dirs: (n_blocks, 2) per-block (az, el) →
+        (2, out_len)."""
+        xb, N = self._blockify(x)
+        nb = xb.shape[0]
+        dirs = jnp.asarray(np.asarray(dirs, dtype=np.float32))
+        if dirs.shape != (nb, 2):
+            raise ValueError(f"dirs must be ({nb}, 2), got {dirs.shape}")
+        y = _trajectory_fn(self.table, xb, dirs, self.config)
+        return y[:, : self._out_len(N)]
+
+    # -- scene render (BASELINE.json:10)
+
+    def render_scene(self, xs, dirs) -> jax.Array:
+        """Multi-source scene → stereo mixdown. xs: (S, N); dirs: (S, 2)
+        static or (S, n_blocks, 2) trajectories → (2, out_len)."""
+        xbs, N = self._blockify(xs)
+        S, nb = xbs.shape[0], xbs.shape[1]
+        dirs = np.asarray(dirs, dtype=np.float32)
+        if dirs.ndim == 2:
+            dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
+        if dirs.shape != (S, nb, 2):
+            raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
+        y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+        return y[:, : self._out_len(N)]
+
+
+# ------------------------------------------------- functional entry points
+
+
+def render(table: HrirTable, x, az: float, el: float,
+           config: RenderConfig = DEFAULT_CONFIG):
+    """Reference entry point (b): render mono at (az, el) → (2, out)."""
+    return BinauralRenderer(table, config).render(x, az, el)
+
+
+def render_trajectory(table: HrirTable, x, dirs,
+                      config: RenderConfig = DEFAULT_CONFIG):
+    """Reference entry point (c): render along a per-block direction path."""
+    return BinauralRenderer(table, config).render_trajectory(x, dirs)
+
+
+def render_scene(table: HrirTable, xs, dirs,
+                 config: RenderConfig = DEFAULT_CONFIG):
+    """Scene render (BASELINE.json:10): sources → stereo mixdown."""
+    return BinauralRenderer(table, config).render_scene(xs, dirs)

@@ -1,0 +1,146 @@
+"""Low-latency streaming renderer (component C12 — SURVEY.md §2;
+BASELINE.json:11, config 5).
+
+Uniformly partitioned overlap-save convolution with a frequency-domain
+delay line (FDL), per-block head-rotation HRTF update. Mirrors
+`tinaural.reference.golden.GoldenStream` in f32.
+
+State is a tiny pytree `(prev_in, fdl)` carried either by the host
+(`Stream.push`, one jitted step per audio block — latency = one block) or
+by `lax.scan` (`Stream.render_offline`, whole signal in one device call —
+used for tests/benchmarks and as the carried-state pattern of SURVEY.md
+§3.5). The state is exposed via `Stream.state` get/set, which is the
+checkpoint/resume story of SURVEY.md §5 — a resumed stream is
+bit-identical to an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..data.table import HrirTable
+from ..ops.filters import DELAY_PAD, effective_filter
+from ..ops.interp import interpolate
+
+
+class StreamState(NamedTuple):
+    """Carried streaming state: previous input block (B,) f32 and the FDL
+    of the last P input-frame spectra (P, B+1) c64."""
+
+    prev_in: jax.Array
+    fdl: jax.Array
+
+
+def _n_parts(table: HrirTable, config: RenderConfig) -> int:
+    t_eff = table.h.shape[-1] + DELAY_PAD
+    return -(-t_eff // config.stream_block)
+
+
+def init_state(table: HrirTable, config: RenderConfig) -> StreamState:
+    B = config.stream_block
+    return StreamState(
+        prev_in=jnp.zeros((B,), dtype=jnp.float32),
+        fdl=jnp.zeros((_n_parts(table, config), B + 1), dtype=jnp.complex64),
+    )
+
+
+def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
+    """Direction → (P, 2, B+1) rfft spectra of the hop-partitioned
+    effective filter (per-block HRTF update of BASELINE.json:11)."""
+    B = config.stream_block
+    P = _n_parts(table, config)
+    h, d, g = interpolate(table, az, el, config)
+    h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
+    parts = jnp.zeros((2, P * B), dtype=h_eff.dtype).at[:, : h_eff.shape[-1]].set(h_eff)
+    parts = parts.reshape(2, P, B)
+    return jnp.fft.rfft(parts, n=2 * B, axis=-1).transpose(1, 0, 2)  # (P, 2, F)
+
+
+def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
+               az, el, config: RenderConfig):
+    B = config.stream_block
+    H = _filter_partitions(table, az, el, config)  # (P, 2, F)
+    X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))  # (F,) of 2B frame
+    fdl = jnp.concatenate([X[None, :], state.fdl[:-1]], axis=0)  # (P, F)
+    Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
+    y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail
+    return StreamState(prev_in=xb, fdl=fdl), y
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def _step_fn(table, state, xb, az, el, config):
+    return _step_core(table, state, xb, az, el, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _scan_fn(table, state, xbs, dirs, config):
+    """Offline scan over blocks: xbs (nb, B), dirs (nb, 2) → (2, nb·B)."""
+
+    def body(st, inp):
+        xb, dr = inp
+        st, y = _step_core(table, st, xb, dr[0], dr[1], config)
+        return st, y
+
+    state, ys = jax.lax.scan(body, state, (xbs, dirs))  # ys: (nb, 2, B)
+    return state, jnp.moveaxis(ys, 0, 1).reshape(2, -1)
+
+
+class Stream:
+    """Real-time streaming binaural renderer; latency = one block.
+
+    >>> s = Stream(table, RenderConfig(stream_block=256))
+    >>> stereo = s.push(mono_block, az=30.0, el=0.0)   # (2, 256)
+    """
+
+    def __init__(self, table: HrirTable, config: RenderConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.table = jax.device_put(table)
+        self._state = init_state(table, config)
+
+    @property
+    def block_size(self) -> int:
+        return self.config.stream_block
+
+    @property
+    def state(self) -> StreamState:
+        """Checkpointable state pytree (SURVEY.md §5 checkpoint/resume)."""
+        return self._state
+
+    @state.setter
+    def state(self, value: StreamState) -> None:
+        self._state = jax.device_put(value)
+
+    def reset(self) -> None:
+        self._state = init_state(self.table, self.config)
+
+    def push(self, block, az: float, el: float) -> jax.Array:
+        """Feed one mono block (B,) at the current head-relative direction
+        → one stereo block (2, B)."""
+        block = np.asarray(block, dtype=np.float32)
+        if block.shape != (self.block_size,):
+            raise ValueError(
+                f"block must be ({self.block_size},), got {block.shape}")
+        self._state, y = _step_fn(self.table, self._state, jnp.asarray(block),
+                                  jnp.float32(az), jnp.float32(el), self.config)
+        return y
+
+    def render_offline(self, x, dirs) -> jax.Array:
+        """Whole-signal streaming render via lax.scan (state advances).
+
+        x: (N,) with N a multiple of the block size; dirs: (nb, 2)."""
+        B = self.block_size
+        x = np.asarray(x, dtype=np.float32)
+        if x.shape[-1] % B != 0:
+            raise ValueError(f"signal length must be a multiple of {B}")
+        xbs = jnp.asarray(x.reshape(-1, B))
+        dirs = jnp.asarray(np.asarray(dirs, dtype=np.float32))
+        if dirs.shape != (xbs.shape[0], 2):
+            raise ValueError(f"dirs must be ({xbs.shape[0]}, 2), got {dirs.shape}")
+        self._state, y = _scan_fn(self.table, self._state, xbs, dirs, self.config)
+        return y
