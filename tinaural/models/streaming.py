@@ -31,10 +31,15 @@ from ..ops.interp import interpolate
 
 class StreamState(NamedTuple):
     """Carried streaming state: previous input block (B,) f32 and the FDL
-    of the last P input-frame spectra (P, B+1) c64."""
+    of the last P input-frame spectra, stored as separate real/imag f32
+    planes (P, B+1). Split storage matters: the axon TPU backend cannot
+    materialise complex arrays eagerly (outside jit), so state that
+    crosses the host boundary stays real and is recombined with
+    `lax.complex` inside the compiled step."""
 
     prev_in: jax.Array
-    fdl: jax.Array
+    fdl_re: jax.Array
+    fdl_im: jax.Array
 
 
 def _n_parts(table: HrirTable, config: RenderConfig) -> int:
@@ -44,9 +49,11 @@ def _n_parts(table: HrirTable, config: RenderConfig) -> int:
 
 def init_state(table: HrirTable, config: RenderConfig) -> StreamState:
     B = config.stream_block
+    P = _n_parts(table, config)
     return StreamState(
         prev_in=jnp.zeros((B,), dtype=jnp.float32),
-        fdl=jnp.zeros((_n_parts(table, config), B + 1), dtype=jnp.complex64),
+        fdl_re=jnp.zeros((P, B + 1), dtype=jnp.float32),
+        fdl_im=jnp.zeros((P, B + 1), dtype=jnp.float32),
     )
 
 
@@ -67,10 +74,11 @@ def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
     B = config.stream_block
     H = _filter_partitions(table, az, el, config)  # (P, 2, F)
     X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))  # (F,) of 2B frame
-    fdl = jnp.concatenate([X[None, :], state.fdl[:-1]], axis=0)  # (P, F)
+    prev_fdl = jax.lax.complex(state.fdl_re, state.fdl_im)
+    fdl = jnp.concatenate([X[None, :], prev_fdl[:-1]], axis=0)  # (P, F)
     Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
     y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail
-    return StreamState(prev_in=xb, fdl=fdl), y
+    return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag), y
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
