@@ -1,0 +1,91 @@
+"""Sharding-layer tests on the virtual 8-device CPU mesh (SURVEY.md §4.4).
+
+Real collectives (psum mixdown, ppermute OLA halo) execute across 8
+XLA host devices; parity is asserted against the single-device jnp path
+and the NumPy golden oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tinaural.config import RenderConfig
+from tinaural.models import BinauralRenderer
+from tinaural.parallel import make_mesh, render_long_sharded, render_scene_sharded
+from tinaural.reference import golden
+
+from conftest import snr_db
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_mesh_helper():
+    m = make_mesh()
+    assert m.shape["src"] == 8 and m.shape["blk"] == 1
+    m2 = make_mesh((2, 4))
+    assert m2.shape["src"] == 2 and m2.shape["blk"] == 4
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_scene_sharded_matches_golden(table, rng):
+    cfg = RenderConfig(block_size=256)
+    S, N = 16, 2000
+    xs = rng.standard_normal((S, N))
+    dirs = np.stack([rng.uniform(0, 360, S), rng.uniform(-40, 90, S)], axis=1)
+    mesh = make_mesh((8, 1))
+    y = np.asarray(render_scene_sharded(table, xs, dirs, mesh, cfg))
+    ref = golden.render_scene(table, xs, dirs, cfg)
+    assert y.shape == ref.shape
+    assert snr_db(ref, y) > 60
+
+
+def test_scene_sharded_pads_sources(table, rng):
+    """Source count not divisible by shard count: zero-padding is exact."""
+    cfg = RenderConfig(block_size=256)
+    xs = rng.standard_normal((5, 512))  # 5 sources on 8 shards
+    dirs = np.stack([rng.uniform(0, 360, 5), rng.uniform(-40, 90, 5)], axis=1)
+    mesh = make_mesh((8, 1))
+    y = np.asarray(render_scene_sharded(table, xs, dirs, mesh, cfg))
+    ref = golden.render_scene(table, xs, dirs, cfg)
+    assert snr_db(ref, y) > 60
+
+
+def test_long_sharded_matches_golden(table, rng):
+    """Sequence-parallel path: ppermute tail halo reproduces the OLA."""
+    cfg = RenderConfig(block_size=256, out_length="same")
+    mesh = make_mesh((1, 8))
+    N = 8 * 256 * 3  # 24 blocks → 3 per shard
+    x = rng.standard_normal(N)
+    nb = N // 256
+    dirs = np.stack([np.linspace(0, 355, nb), np.linspace(-40, 90, nb)], axis=1)
+    y = np.asarray(render_long_sharded(table, x, dirs, mesh, cfg))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert y.shape == ref.shape == (2, N)
+    assert snr_db(ref, y) > 60
+
+
+def test_long_sharded_ragged_blocks(table, rng):
+    """Block count not divisible by shard count."""
+    cfg = RenderConfig(block_size=256, out_length="same")
+    mesh = make_mesh((1, 8))
+    N = 256 * 10 + 100  # 11 blocks over 8 shards
+    x = rng.standard_normal(N)
+    nb = -(-N // 256)
+    dirs = np.stack([np.linspace(10, 200, nb), np.zeros(nb)], axis=1)
+    y = np.asarray(render_long_sharded(table, x, dirs, mesh, cfg))
+    ref = golden.render_trajectory(table, x, dirs, cfg)[:, :N]
+    assert snr_db(ref, y) > 60
+
+
+def test_2d_mesh_scene(table, rng):
+    """Scene on a 4×2 (src × blk) mesh still mixes down correctly."""
+    cfg = RenderConfig(block_size=256)
+    xs = rng.standard_normal((8, 1024))
+    dirs = np.stack([rng.uniform(0, 360, 8), rng.uniform(-40, 90, 8)], axis=1)
+    mesh = make_mesh((4, 2))
+    y = np.asarray(render_scene_sharded(table, xs, dirs, mesh, cfg))
+    ref = golden.render_scene(table, xs, dirs, cfg)
+    assert snr_db(ref, y) > 60

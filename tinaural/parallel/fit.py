@@ -1,0 +1,53 @@
+"""Source-sharded personalization training step (data-parallel fitting).
+
+The full multi-chip "training step" used by `__graft_entry__.
+dryrun_multichip`: the scene forward runs source-sharded under `shard_map`
+(psum mixdown over ICI), the loss is computed on the replicated mixdown,
+and `jax.grad` differentiates straight through the collective — psum's
+transpose replicates the cotangent, so every shard ends up with identical
+parameter gradients (data-parallel all-reduce for free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..models.fit import FitParams, personalize_table
+from ..models.renderer import _trajectory_core
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def scene_loss_sharded(params: FitParams, table, xbs, dirs, target,
+                       config: RenderConfig, mesh: Mesh) -> jax.Array:
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("src"), P("src"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def loss_fn(params, table, xbs, dirs, target):
+        ptable = personalize_table(table, params)
+        y = jax.vmap(lambda xb, dr: _trajectory_core(ptable, xb, dr, config))(xbs, dirs)
+        y = jax.lax.psum(jnp.sum(y, axis=0), "src")
+        n = min(y.shape[-1], target.shape[-1])
+        return jnp.mean((y[:, :n] - target[:, :n]) ** 2)
+
+    return loss_fn(params, table, xbs, dirs, target)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "optimizer"))
+def fit_step_sharded(params: FitParams, opt_state, table, xbs, dirs, target,
+                     config: RenderConfig, mesh: Mesh, optimizer) -> tuple:
+    """One data-parallel Adam step → (params, opt_state, loss)."""
+    loss, grads = jax.value_and_grad(scene_loss_sharded)(
+        params, table, xbs, dirs, target, config, mesh)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss

@@ -1,0 +1,72 @@
+"""Source-sharded scene rendering (BASELINE.json:10 at multi-chip scale).
+
+`shard_map` over the mesh's ``"src"`` axis: each device renders its slice
+of the sources with the exact single-chip trajectory core
+(`tinaural.models.renderer._trajectory_core`), then the stereo mixdown is
+one `psum` over ICI — the only communication in the scene path
+(SURVEY.md §5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..data.table import HrirTable
+from ..models.renderer import _trajectory_core
+from ..ops.filters import DELAY_PAD
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def _scene_sharded_fn(table, xbs, dirs, config, mesh):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("src"), P("src")),  # table replicated, sources sharded
+        out_specs=P(),
+        check_vma=False,
+    )
+    def fn(table, xbs, dirs):
+        y = jax.vmap(lambda xb, dr: _trajectory_core(table, xb, dr, config))(xbs, dirs)
+        # mixdown: psum over source shards only — inputs are replicated
+        # along "blk", so its replicas already hold identical values.
+        return jax.lax.psum(jnp.sum(y, axis=0), "src")
+
+    return fn(table, xbs, dirs)
+
+
+def render_scene_sharded(table: HrirTable, xs, dirs, mesh: Mesh,
+                         config: RenderConfig = DEFAULT_CONFIG):
+    """Scene render sharded over sources → (2, out_len) replicated.
+
+    xs: (S, N); dirs: (S, 2) or (S, n_blocks, 2). S is zero-padded up to
+    a multiple of the mesh's source-shard count (silent sources mix to
+    nothing, so padding is exact, not approximate).
+    """
+    B = config.block_size
+    xs = np.asarray(xs, dtype=np.float32)
+    S, N = xs.shape
+    nb = -(-N // B)
+
+    total = mesh.shape["src"]
+    s_pad = -(-S // total) * total
+    xbs = np.zeros((s_pad, nb, B), dtype=np.float32)
+    xbs[:S, :, : B] = np.pad(xs, [(0, 0), (0, nb * B - N)]).reshape(S, nb, B)
+
+    dirs = np.asarray(dirs, dtype=np.float32)
+    if dirs.ndim == 2:
+        dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
+    dirs_p = np.zeros((s_pad, nb, 2), dtype=np.float32)
+    dirs_p[:S] = dirs
+
+    table = jax.device_put(table)
+    y = _scene_sharded_fn(table, jnp.asarray(xbs), jnp.asarray(dirs_p), config, mesh)
+    t_eff = table.h.shape[-1] + DELAY_PAD
+    out = N + t_eff - 1 if config.out_length == "full" else N
+    return y[:, :out]
