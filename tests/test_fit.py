@@ -65,12 +65,26 @@ def test_fit_reduces_loss_on_itd_ild_perturbation(table, rng):
         ild_scale_log=jnp.asarray(0.3, jnp.float32))
     ttab = personalize_table(jax.device_put(table), true)
     target = BinauralRenderer(jax.tree.map(np.asarray, ttab), CFG).render_scene(xs, dirs)
+    # gradients must flow to every parameter through the full render
+    B = CFG.block_size
+    nb = -(-xs.shape[1] // B)
+    xbs = jnp.asarray(np.pad(xs, [(0, 0), (0, nb * B - xs.shape[1])]).reshape(
+        xs.shape[0], nb, B))
+    dirs_b = jnp.asarray(np.broadcast_to(
+        dirs[:, None, :], (xs.shape[0], nb, 2)).astype(np.float32))
+    g = jax.grad(scene_loss)(init_params(), jax.device_put(table), xbs, dirs_b,
+                             jnp.asarray(np.asarray(target, np.float32)), CFG)
+    for name, leaf in zip(FitParams._fields, g):
+        arr = np.asarray(leaf)
+        assert np.all(np.isfinite(arr)), name
+        assert np.any(arr != 0), f"no gradient reached {name}"
+
     params, losses = fit_hrtf(table, xs, dirs, np.asarray(target), steps=80,
                               lr=3e-2, config=CFG)
     # ITD enters through round()+frac (piecewise gradient), so the loss
-    # surface is bumpy; the property under test is that gradients flow
-    # through the full render, not optimizer strength.
-    assert losses[-1] < losses[0] * 0.5
+    # surface is bumpy and convergence slow; the property under test is
+    # that optimization makes real progress, not optimizer strength.
+    assert losses[-1] < losses[0] * 0.8
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
