@@ -64,7 +64,13 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # previous block's filter
         Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
         Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
-        Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+        if config.use_pallas:
+            from ..ops.pallas_kernels import fused_spectral_mac
+
+            Y = fused_spectral_mac(Xu, Xd, Hc, Hp,
+                                   interpret=config.pallas_interpret)
+        else:
+            Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
     else:
         Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
     y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
