@@ -1,0 +1,207 @@
+"""Command-line interface (L5 of SURVEY.md §1, component C13).
+
+Thin argparse shell over the renderer API — the reference-shaped workflow:
+read a mono WAV, render, write a stereo WAV (SURVEY.md §3.2).
+
+    python -m tinaural render in.wav out.wav --az 60 --el 10
+    python -m tinaural sweep in.wav out.wav --start 270 --end 90
+    python -m tinaural trajectory in.wav out.wav --waypoint 0,0,0 \
+        --waypoint 2,180,40
+    python -m tinaural scene scene.json out.wav
+    python -m tinaural info
+    python -m tinaural bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .config import RenderConfig
+from .data import load_hrir_set, read_wav, write_wav
+from .utils.paths import circular_sweep, waypoints_to_block_dirs
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--hrir", default="synthetic",
+                   help="HRIR source: 'synthetic', a KEMAR directory, or a .sofa file")
+    p.add_argument("--interp", choices=["nearest", "bilinear"], default="bilinear")
+    p.add_argument("--no-itd", action="store_true", help="skip fractional-delay ITD")
+    p.add_argument("--no-ild", action="store_true", help="skip ILD gain")
+    p.add_argument("--block", type=int, default=1024, help="block size (pow2)")
+    p.add_argument("--cpu-golden", action="store_true",
+                   help="render with the NumPy golden reference instead of JAX")
+    p.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+
+
+def _config(args) -> RenderConfig:
+    return RenderConfig(
+        interp=args.interp,
+        apply_itd=not args.no_itd,
+        apply_ild=not args.no_ild,
+        block_size=args.block,
+        use_pallas=getattr(args, "pallas", False),
+    )
+
+
+def _load_mono(path: str):
+    sr, x = read_wav(path)
+    if x.ndim > 1:
+        x = x.mean(axis=1)  # downmix to mono
+    return sr, x
+
+
+def cmd_render(args) -> int:
+    table = load_hrir_set(args.hrir)
+    cfg = _config(args)
+    sr, x = _load_mono(args.input)
+    if args.cpu_golden:
+        from .reference import golden
+
+        y = golden.render_static(table, x, args.az, args.el, cfg)
+    else:
+        from .models import BinauralRenderer
+
+        y = np.asarray(BinauralRenderer(table, cfg).render(x, args.az, args.el))
+    write_wav(args.output, sr, y.T, normalize=args.normalize)
+    print(f"wrote {args.output}: {y.shape[1]} samples at az={args.az} el={args.el}")
+    return 0
+
+
+def _render_trajectory(args, dirs_fn) -> int:
+    table = load_hrir_set(args.hrir)
+    cfg = _config(args)
+    sr, x = _load_mono(args.input)
+    nb = -(-len(x) // cfg.block_size)
+    dirs = dirs_fn(nb, cfg, sr)
+    if args.cpu_golden:
+        from .reference import golden
+
+        y = golden.render_trajectory(table, x, np.asarray(dirs, np.float64), cfg)
+    else:
+        from .models import BinauralRenderer
+
+        y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    write_wav(args.output, sr, y.T, normalize=args.normalize)
+    print(f"wrote {args.output}: {y.shape[1]} samples, {nb} blocks")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    return _render_trajectory(
+        args, lambda nb, cfg, sr: circular_sweep(nb, args.start, args.end, args.el))
+
+
+def cmd_trajectory(args) -> int:
+    wps = []
+    for w in args.waypoint:
+        t, az, el = (float(v) for v in w.split(","))
+        wps.append((t, az, el))
+
+    return _render_trajectory(
+        args,
+        lambda nb, cfg, sr: waypoints_to_block_dirs(wps, nb, cfg.block_size, sr))
+
+
+def cmd_scene(args) -> int:
+    """Scene file: JSON list of {"wav": path, "az": deg, "el": deg}."""
+    with open(args.scene) as f:
+        spec = json.load(f)
+    table = load_hrir_set(args.hrir)
+    cfg = _config(args)
+    srs, sigs, dirs = set(), [], []
+    for src in spec:
+        sr, x = _load_mono(src["wav"])
+        srs.add(sr)
+        sigs.append(x)
+        dirs.append([float(src["az"]), float(src["el"])])
+    if len(srs) != 1:
+        raise SystemExit(f"all sources must share one sample rate, got {srs}")
+    sr = srs.pop()
+    n = max(len(x) for x in sigs)
+    xs = np.zeros((len(sigs), n))
+    for i, x in enumerate(sigs):
+        xs[i, : len(x)] = x
+    if args.cpu_golden:
+        from .reference import golden
+
+        y = golden.render_scene(table, xs, np.asarray(dirs), cfg)
+    else:
+        from .models import BinauralRenderer
+
+        y = np.asarray(BinauralRenderer(table, cfg).render_scene(xs, np.asarray(dirs)))
+    write_wav(args.output, sr, y.T, normalize=True)
+    print(f"wrote {args.output}: {len(sigs)} sources, {y.shape[1]} samples")
+    return 0
+
+
+def cmd_info(args) -> int:
+    table = load_hrir_set(args.hrir)
+    g = table.grid()
+    print(f"source:      {args.hrir}")
+    print(f"directions:  {g.n_directions} ({g.n_elevs} elevation rings, "
+          f"max {g.a_max} azimuths)")
+    print(f"elevations:  {g.elevs[0]:.0f}..{g.elevs[-1]:.0f} deg")
+    print(f"taps:        {table.taps} @ {table.sample_rate} Hz")
+    print(f"decomposed:  {table.decomposed} (ITD/ILD tracks "
+          f"{'available' if table.decomposed else 'baked into HRIRs'})")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tinaural",
+                                 description="TPU-native binaural audio synthesis")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="static render at one direction")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--az", type=float, required=True)
+    p.add_argument("--el", type=float, default=0.0)
+    p.add_argument("--normalize", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("sweep", help="moving source: azimuth sweep")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--start", type=float, default=0.0)
+    p.add_argument("--end", type=float, default=360.0)
+    p.add_argument("--el", type=float, default=0.0)
+    p.add_argument("--normalize", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("trajectory", help="moving source along waypoints")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--waypoint", action="append", required=True,
+                   metavar="T,AZ,EL", help="repeatable: time_sec,az_deg,el_deg")
+    p.add_argument("--normalize", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_trajectory)
+
+    p = sub.add_parser("scene", help="multi-source scene from a JSON spec")
+    p.add_argument("scene"); p.add_argument("output")
+    _add_common(p)
+    p.set_defaults(fn=cmd_scene)
+
+    p = sub.add_parser("info", help="describe an HRIR set")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

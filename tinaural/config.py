@@ -38,6 +38,10 @@ class RenderConfig:
         samples.
       crossfade: crossfade the per-block filters of a moving source to
         avoid zipper noise (BASELINE.json:9 "crossfaded block conv").
+      scene_chunk: sources rendered per lax.map step in the scene
+        renderer. Full vmap over 64+ sources materialises ~0.5 GB of
+        block spectra (measured 40x slowdown); chunks keep peak
+        intermediates small while still batching thousands of FFTs.
       use_pallas: route the fused complex-multiply + phase-ramp + gain
         stage through the Pallas TPU kernel instead of plain jnp ops.
         The jnp path is a permanent fallback (SURVEY.md §7 M6).
@@ -54,6 +58,7 @@ class RenderConfig:
     block_size: int = 1024
     stream_block: int = 256
     crossfade: bool = True
+    scene_chunk: int = 8
     use_pallas: bool = False
     pallas_interpret: bool = False
     out_length: str = "full"

@@ -82,13 +82,68 @@ def _trajectory_fn(table, xb, dirs, config):
     return _trajectory_core(table, xb, dirs, config)
 
 
+def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
+                       config: RenderConfig) -> jax.Array:
+    """OLA block convolution at ONE fixed direction. xb: (nb, B); dir2:
+    (2,) → (2, (nb-1)·B + n_fft).
+
+    Numerically identical to `_trajectory_core` with a constant direction
+    (the input-side crossfade against an identical filter sums to the
+    plain convolution), but assembles the filter once instead of once per
+    block — for static scenes this removes a third of the large FFTs and
+    all per-block gathers (BASELINE.json:10 "per-source HRTF gather").
+    """
+    taps = table.h.shape[-1]
+    B = xb.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    h, d, g = interpolate(table, dir2[0], dir2[1], config)
+    h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
+    H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
+    X = jnp.fft.rfft(xb, n=n_fft)  # (nb, F)
+    y = jnp.fft.irfft(X[:, None, :] * H[None], n=n_fft)  # (nb, 2, n_fft)
+    return overlap_add(jnp.moveaxis(y, 0, 1), B)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _scene_static_fn(table, xbs, dirs, config):
+    """Static-direction scene: xbs (S, nb, B); dirs (S, 2) → (2, out)."""
+    S = xbs.shape[0]
+    ch = min(S, config.scene_chunk)
+    if S % ch:
+        ch = 1
+    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
+    dc = dirs.reshape(S // ch, ch, 2)
+
+    def chunk(args):
+        xb, dr = args
+        y = jax.vmap(lambda b, d: _static_block_core(table, b, d, config))(xb, dr)
+        return jnp.sum(y, axis=0)
+
+    return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _scene_fn(table, xbs, dirs, config):
     """Batched scene render + stereo mixdown. xbs: (S, nb, B); dirs:
-    (S, nb, 2) → (2, out). The source axis is a pure vmap — the same axis
+    (S, nb, 2) → (2, out). Sources are processed config.scene_chunk at a
+    time under lax.map — a full vmap over 64 sources materialises ~0.5 GB
+    of block spectra per call (measured: 40× per-block slowdown); chunking
+    keeps peak intermediates small while each chunk still batches
+    thousands of FFTs. The source axis is the same axis
     `tinaural.parallel` shards across devices (BASELINE.json:10)."""
-    y = jax.vmap(lambda xb, dr: _trajectory_core(table, xb, dr, config))(xbs, dirs)
-    return jnp.sum(y, axis=0)
+    S = xbs.shape[0]
+    ch = min(S, config.scene_chunk)
+    if S % ch:
+        ch = 1
+    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
+    dc = dirs.reshape(S // ch, ch, *dirs.shape[1:])
+
+    def chunk(args):
+        xb, dr = args
+        y = jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
+        return jnp.sum(y, axis=0)
+
+    return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
 
 
 # ------------------------------------------------------------- host wrapper
@@ -171,10 +226,13 @@ class BinauralRenderer:
         S, nb = xbs.shape[0], xbs.shape[1]
         dirs = np.asarray(dirs, dtype=np.float32)
         if dirs.ndim == 2:
-            dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
-        if dirs.shape != (S, nb, 2):
-            raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
-        y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+            if dirs.shape != (S, 2):
+                raise ValueError(f"dirs must be ({S}, 2), got {dirs.shape}")
+            y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+        else:
+            if dirs.shape != (S, nb, 2):
+                raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
+            y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
         return y[:, : self._out_len(N)]
 
 
