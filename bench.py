@@ -26,11 +26,17 @@ timing two ways, both measured):
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the subprocess-per-workload isolation would
+# otherwise recompile every executable (~60-90 s each over the tunnel).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tinaural_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 TARGET_X_REALTIME = 10_000.0  # BASELINE.json:5
 SR = 44_100
@@ -44,8 +50,12 @@ def _fence(y) -> float:
     return float(np.asarray(y[0, -1]))
 
 
-def _marginal(call, k1: int = 2, k2: int = 10) -> float:
-    """Marginal pipelined seconds per call (see module docstring)."""
+def _marginal(call, k1: int = 2, k2: int = 12, reps: int = 3) -> float:
+    """Marginal pipelined seconds per call (see module docstring).
+
+    Median over ``reps`` paired estimates — the tunnel adds tens of ms
+    of jitter per fence, so single estimates vary ~2×.
+    """
 
     def batch(k):
         t0 = time.perf_counter()
@@ -57,9 +67,12 @@ def _marginal(call, k1: int = 2, k2: int = 10) -> float:
 
     batch(1)  # compile + warm
     batch(1)
-    t1 = min(batch(k1) for _ in range(2))
-    t2 = min(batch(k2) for _ in range(2))
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    ests = []
+    for _ in range(reps):
+        t1 = batch(k1)
+        t2 = batch(k2)
+        ests.append((t2 - t1) / (k2 - k1))
+    return max(float(np.median(ests)), 1e-9)
 
 
 def _oneshot(call) -> float:
@@ -206,39 +219,52 @@ def w_snr() -> dict:
     return {"snr_db": float(snr)}
 
 
-WORKLOADS = {
-    "traj": lambda: w_trajectory(False),
-    "traj_pallas": lambda: w_trajectory(True),
-    "scene": w_scene,
-    "scene_moving": w_scene_moving,
-    "static": w_static,
-    "stream": w_stream,
-    "snr": w_snr,
+# Workloads grouped into one subprocess per *group*: full per-workload
+# isolation would pay a fresh 1-5 min (remote, uncached) compile each; one
+# process per group of similar-footprint workloads keeps the measured
+# cross-workload contamination away from the dissimilar ones.
+GROUPS = {
+    "traj_group": [
+        ("traj", lambda: w_trajectory(False)),
+        ("traj_pallas", lambda: w_trajectory(True)),
+        ("snr", w_snr),
+    ],
+    "scene_group": [
+        ("scene", w_scene),
+        ("scene_moving", w_scene_moving),
+    ],
+    "static_group": [("static", w_static)],
+    "stream_group": [("stream", w_stream)],
 }
 
 
-def _run_sub(name: str) -> dict:
+def _run_group(name: str) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--workload", name],
-        capture_output=True, text=True, timeout=900, cwd="/root/repo"
+        capture_output=True, text=True, timeout=1700, cwd="/root/repo"
         if __file__.startswith("/root/repo") else None)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             return json.loads(line)
         except json.JSONDecodeError:
             continue
-    raise RuntimeError(f"workload {name} produced no JSON: "
+    raise RuntimeError(f"group {name} produced no JSON: "
                        f"stdout={out.stdout[-500:]} stderr={out.stderr[-500:]}")
 
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--workload":
-        print(json.dumps(WORKLOADS[sys.argv[2]]()))
+        group = {}
+        for key, fn in GROUPS[sys.argv[2]]:
+            group[key] = fn()
+        print(json.dumps(group))
         return
 
     import jax  # parent process only reports the backend
 
-    res = {name: _run_sub(name) for name in WORKLOADS}
+    res = {}
+    for gname in GROUPS:
+        res.update(_run_group(gname))
     traj = res["traj"]["audio_sec_per_sec"]
     result = {
         "metric": "1src_audio_sec_per_sec_per_chip",

@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §4.2: hypothesis over random az/el,
+lengths, block sizes) + batched streaming."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tinaural.config import RenderConfig
+from tinaural.models import BatchedStream, BinauralRenderer, Stream
+from tinaural.reference import golden
+
+from conftest import snr_db
+
+azimuths = st.floats(0.0, 359.999)
+elevations = st.floats(-60.0, 100.0)  # deliberately beyond the grid: clamps
+
+
+@settings(max_examples=30, deadline=None)
+@given(az=azimuths, el=elevations)
+def test_weights_valid_everywhere(table, az, el):
+    """Weights sum to 1, are non-negative, and index valid cells for ANY
+    direction, including off-grid elevations (clamped) and wraparound."""
+    elevs = np.asarray(table.elevs, dtype=np.float64)
+    counts = np.asarray(table.az_counts, dtype=np.int64)
+    for mode in ("nearest", "bilinear"):
+        idx, w = golden.grid_weights(elevs, counts, az, el, mode)
+        assert abs(w.sum() - 1.0) < 1e-9
+        assert np.all(w >= -1e-12)
+        assert np.all(idx[:, 1] < counts[idx[:, 0]])
+
+
+@settings(max_examples=20, deadline=None)
+@given(az=azimuths, el=elevations)
+def test_interpolation_continuity(table, az, el):
+    """Filters vary continuously: a 0.01° perturbation cannot change the
+    interpolated effective filter much (no indexing cliffs)."""
+    cfg = RenderConfig()
+    f0 = golden.direction_filter(table, az, el, cfg)
+    f1 = golden.direction_filter(table, (az + 0.01) % 360.0, el, cfg)
+    ref = float(np.sqrt(np.sum(f0**2)))
+    assert np.sqrt(np.sum((f0 - f1) ** 2)) < 0.15 * ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(64, 3000),
+    az=azimuths,
+    el=st.floats(-40.0, 90.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_static_parity_random(table, n, az, el, seed):
+    """TPU-path static render vs oracle at random lengths/directions."""
+    x = np.random.default_rng(seed).standard_normal(n)
+    y = np.asarray(BinauralRenderer(table, RenderConfig()).render(x, az, el))
+    ref = golden.render_static(table, x, az, el, RenderConfig())
+    assert snr_db(ref, y) > 60
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    block_pow=st.integers(7, 10),  # 128..1024
+    nb=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_trajectory_parity_random_blocks(table, block_pow, nb, seed):
+    B = 1 << block_pow
+    cfg = RenderConfig(block_size=B)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(nb * B - rng.integers(0, B // 2))
+    nb_real = -(-len(x) // B)
+    dirs = np.stack([rng.uniform(0, 360, nb_real), rng.uniform(-40, 90, nb_real)],
+                    axis=1)
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert snr_db(ref, y) > 60
+
+
+def test_energy_conservation_bound(table, rng):
+    """Output energy is bounded by (interpolated gain × shape) energy —
+    no mode amplifies unboundedly."""
+    x = rng.standard_normal(4096)
+    cfg = RenderConfig(block_size=512)
+    r = BinauralRenderer(table, cfg)
+    ex = np.sum(x**2)
+    gmax = float(np.max(np.asarray(table.gains)))
+    for y in (r.render(x, 90.0, 0.0), r.render_trajectory(
+            x, np.tile([45.0, 10.0], (8, 1)))):
+        assert np.sum(np.asarray(y) ** 2) < 4.0 * gmax**2 * ex
+
+
+def test_batched_stream_matches_individual(table, rng):
+    """BatchedStream == S independent Streams (float-exact; vmap may
+    reassociate reductions, so not bit-for-bit)."""
+    cfg = RenderConfig(stream_block=256)
+    S = 4
+    bs = BatchedStream(table, S, cfg)
+    singles = [Stream(table, cfg) for _ in range(S)]
+    azs = np.array([10.0, 100.0, 200.0, 300.0], np.float32)
+    els = np.array([-20.0, 0.0, 30.0, 60.0], np.float32)
+    for step in range(3):
+        blocks = rng.standard_normal((S, 256)).astype(np.float32)
+        yb = np.asarray(bs.push(blocks, azs + step, els))
+        for s in range(S):
+            ys = np.asarray(singles[s].push(blocks[s], azs[s] + step, els[s]))
+            assert snr_db(ys, yb[s]) > 100

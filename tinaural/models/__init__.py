@@ -1,7 +1,7 @@
 """Renderer models (L4 of SURVEY.md §1)."""
 
 from .renderer import BinauralRenderer, render, render_scene, render_trajectory
-from .streaming import Stream, StreamState, init_state
+from .streaming import BatchedStream, Stream, StreamState, init_state
 
 __all__ = [
     "BinauralRenderer",
@@ -9,6 +9,7 @@ __all__ = [
     "render_scene",
     "render_trajectory",
     "Stream",
+    "BatchedStream",
     "StreamState",
     "init_state",
 ]

@@ -99,6 +99,57 @@ def _scan_fn(table, state, xbs, dirs, config):
     return state, jnp.moveaxis(ys, 0, 1).reshape(2, -1)
 
 
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def _batch_step_fn(table, state, xbs, azs, els, config):
+    """vmapped stream step: S independent streams advance one block."""
+    return jax.vmap(
+        lambda st, xb, az, el: _step_core(table, st, xb, az, el, config)
+    )(state, xbs, azs, els)
+
+
+class BatchedStream:
+    """S independent low-latency streams on one chip (serving mode).
+
+    The per-stream state pytree gains a leading S axis and the whole step
+    is one vmapped device call — one dispatch serves every connected
+    listener, which is how a production deployment amortises per-call
+    overhead across clients.
+
+    >>> bs = BatchedStream(table, n_streams=16, config=cfg)
+    >>> stereo = bs.push(blocks, azs, els)   # (16, B), (16,), (16,) → (16, 2, B)
+    """
+
+    def __init__(self, table: HrirTable, n_streams: int,
+                 config: RenderConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.n_streams = n_streams
+        self.table = jax.device_put(table)
+        self._state = jax.vmap(lambda _: init_state(table, config))(
+            jnp.arange(n_streams))
+
+    @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, value) -> None:
+        self._state = jax.device_put(value)
+
+    def push(self, blocks, azs, els) -> jax.Array:
+        """blocks: (S, B); azs, els: (S,) → (S, 2, B)."""
+        B = self.config.stream_block
+        blocks = np.asarray(blocks, dtype=np.float32)
+        if blocks.shape != (self.n_streams, B):
+            raise ValueError(
+                f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
+        azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
+        els = jnp.asarray(np.asarray(els, dtype=np.float32))
+        self._state, y = _batch_step_fn(self.table, self._state,
+                                        jnp.asarray(blocks), azs, els,
+                                        self.config)
+        return y
+
+
 class Stream:
     """Real-time streaming binaural renderer; latency = one block.
 
