@@ -138,6 +138,48 @@ def cmd_scene(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Simulate the real-time streaming loop: push the WAV block by block
+    through the streaming renderer while the head rotates."""
+    table = load_hrir_set(args.hrir)
+    cfg = _config(args).replace(stream_block=args.stream_block)
+    sr, x = _load_mono(args.input)
+    B = cfg.stream_block
+    nb = len(x) // B
+    if nb == 0:
+        raise SystemExit(f"input shorter than one block ({B} samples)")
+    az = np.linspace(args.start_az, args.end_az, nb) % 360.0
+    if args.cpu_golden:
+        from .reference import golden
+
+        s = golden.GoldenStream(table, cfg)
+        outs = [s.push(x[i * B : (i + 1) * B], float(az[i]), args.el)
+                for i in range(nb)]
+        y = np.concatenate(outs, axis=1)
+    else:
+        from .models import Stream
+
+        s = Stream(table, cfg)
+        y = np.asarray(
+            s.render_offline(x[: nb * B],
+                             np.stack([az, np.full(nb, args.el)], axis=1)))
+    write_wav(args.output, sr, y.T, normalize=args.normalize)
+    print(f"wrote {args.output}: {nb} blocks of {B} "
+          f"({B / sr * 1e3:.2f} ms latency each)")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Preprocess an HRIR source into a .npz table (fast reload)."""
+    from .data import save_table
+
+    table = load_hrir_set(args.hrir, decompose=not args.raw)
+    save_table(args.output, table)
+    print(f"wrote {args.output}: {table.h.shape} taps={table.taps} "
+          f"decomposed={table.decomposed}")
+    return 0
+
+
 def cmd_info(args) -> int:
     table = load_hrir_set(args.hrir)
     g = table.grid()
@@ -191,6 +233,22 @@ def main(argv=None) -> int:
     p.add_argument("scene"); p.add_argument("output")
     _add_common(p)
     p.set_defaults(fn=cmd_scene)
+
+    p = sub.add_parser("stream", help="simulated real-time streaming render")
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--stream-block", type=int, default=256)
+    p.add_argument("--start-az", type=float, default=0.0)
+    p.add_argument("--end-az", type=float, default=360.0)
+    p.add_argument("--el", type=float, default=0.0)
+    p.add_argument("--normalize", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("export", help="preprocess an HRIR source into .npz")
+    p.add_argument("output")
+    p.add_argument("--raw", action="store_true", help="skip ITD/ILD decomposition")
+    _add_common(p)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("info", help="describe an HRIR set")
     _add_common(p)

@@ -48,6 +48,10 @@ def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
         h, grid = synthesize_hrirs(sample_rate=sample_rate, taps=taps,
                                    noise=noise, seed=seed)
         return build_table(h, grid, sample_rate, decompose=decompose)
+    if str(source).endswith(".npz"):
+        from .table import load_table
+
+        return load_table(source)
     if str(source).endswith(".sofa"):
         h, grid, sr = _load_sofa(source)
         return build_table(h, grid, sr, decompose=decompose)

@@ -189,6 +189,32 @@ def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):
     return aligned, delays, gains
 
 
+def save_table(path, table: HrirTable) -> None:
+    """Serialise a table to ``.npz`` (decomposition included, so loading
+    skips the TOA-estimation pass)."""
+    np.savez_compressed(
+        path,
+        h=np.asarray(table.h),
+        delays=np.asarray(table.delays),
+        gains=np.asarray(table.gains),
+        elevs=np.asarray(table.elevs),
+        az_counts=np.asarray(table.az_counts),
+        valid=np.asarray(table.valid),
+        sample_rate=np.int64(table.sample_rate),
+        decomposed=np.bool_(table.decomposed),
+    )
+
+
+def load_table(path) -> HrirTable:
+    """Load a table saved by `save_table`."""
+    z = np.load(path)
+    return HrirTable(
+        h=z["h"], delays=z["delays"], gains=z["gains"], elevs=z["elevs"],
+        az_counts=z["az_counts"], valid=z["valid"],
+        sample_rate=int(z["sample_rate"]), decomposed=bool(z["decomposed"]),
+    )
+
+
 def build_table(h: np.ndarray, grid: SphericalGrid, sample_rate: int,
                 decompose: bool = True) -> HrirTable:
     """Assemble an `HrirTable` from a dense HRIR array + grid metadata."""

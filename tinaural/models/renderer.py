@@ -23,7 +23,8 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..ops.filters import DELAY_PAD, effective_filter, next_pow2
+from ..ops.filters import (DELAY_PAD, effective_filter,
+                          filter_spectrum_mm, next_pow2)
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
 
@@ -56,8 +57,11 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
 
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
-    h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
-    Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
+    if config.filter_path == "matmul":
+        Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
+    else:
+        h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
+        Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
 
     if config.crossfade:
         ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
@@ -97,8 +101,11 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     h, d, g = interpolate(table, dir2[0], dir2[1], config)
-    h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
-    H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
+    if config.filter_path == "matmul":
+        H = filter_spectrum_mm(h, d, g, taps, n_fft)  # (2, F)
+    else:
+        h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
+        H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
     X = jnp.fft.rfft(xb, n=n_fft)  # (nb, F)
     y = jnp.fft.irfft(X[:, None, :] * H[None], n=n_fft)  # (nb, 2, n_fft)
     return overlap_add(jnp.moveaxis(y, 0, 1), B)

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..ops.filters import DELAY_PAD, effective_filter
+from ..ops.filters import DELAY_PAD, effective_filter, filter_partitions_mm
 from ..ops.interp import interpolate
 
 
@@ -63,6 +63,8 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     B = config.stream_block
     P = _n_parts(table, config)
     h, d, g = interpolate(table, az, el, config)
+    if config.filter_path == "matmul":
+        return filter_partitions_mm(h, d, g, table.h.shape[-1], B)
     h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
     parts = jnp.zeros((2, P * B), dtype=h_eff.dtype).at[:, : h_eff.shape[-1]].set(h_eff)
     parts = parts.reshape(2, P, B)

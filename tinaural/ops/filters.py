@@ -11,8 +11,11 @@ is the scalar per-ear gain fused into the same spectral multiply.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.table import ALIGN_GUARD, TAPER_HI, TAPER_LO
 
@@ -41,6 +44,138 @@ def delay_ramp(n_fft: int, shift_samples: jax.Array) -> jax.Array:
     taper = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
     phase = -2.0 * jnp.pi * fnorm * (di + taper * df)
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+def _clip_delay(d: jax.Array) -> jax.Array:
+    return jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, DELAY_PAD - 16.0)
+
+
+@lru_cache(maxsize=8)
+def _zoom_matrices(taps: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Precompose the filter-assembly chain into two real matrices (MXU).
+
+    The per-block chain `h → rfft_L → (·ramp·gain) → irfft_L → trunc_Tpad
+    → rfft_nfft` spends ~60% of the trajectory render's per-block time in
+    its FFT stages (measured: static scenes that skip it run ~2.5× faster
+    per block). Everything around the direction-dependent diagonal
+    (ramp·gain) is a *fixed linear map*, so it is precomposed here into:
+
+      M1: (taps, 2·F_L)   —  h ↦ [Re G, Im G],  G = rfft_L(h)
+      M2: (2·F_L, 2·F_n)  —  [Re G', Im G'] ↦ [Re H, Im H],
+                              H = rfft_nfft(trunc_Tpad(irfft_L(G')))
+
+    Both maps are only R-linear (irfft conjugates the upper bins), so they
+    act on stacked re/im planes. Columns are built by pushing basis
+    vectors through the NumPy reference chain — the matrices are the
+    oracle's own operators, exactly, including the truncation; the only
+    numerical difference from the FFT path is f32 matmul accumulation
+    (~1e-6 relative). Cached per (taps, n_fft); ~2 MB for n_fft=2048.
+    """
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL, Fn = L // 2 + 1, n_fft // 2 + 1
+
+    eye = np.eye(taps)
+    G = np.fft.rfft(eye, n=L, axis=-1)  # (taps, FL) complex
+    M1 = np.concatenate([G.real, G.imag], axis=-1)  # (taps, 2FL)
+
+    M2 = np.zeros((2 * FL, 2 * Fn))
+    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
+    basis[:FL] = np.eye(FL)
+    basis[FL:] = 1j * np.eye(FL)
+    ht = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]
+    H = np.fft.rfft(ht, n=n_fft, axis=-1)  # (2FL, Fn)
+    M2[:, :Fn] = H.real
+    M2[:, Fn:] = H.imag
+    return M1.astype(np.float32), M2.astype(np.float32)
+
+
+def filter_spectrum_mm(h: jax.Array, d: jax.Array, g: jax.Array,
+                       taps: int, n_fft: int) -> jax.Array:
+    """Effective-filter spectrum at ``n_fft`` via the MXU zoom matmuls.
+
+    h: (..., 2, taps); d, g: (..., 2) → (..., 2, n_fft//2+1) complex64.
+    Same semantics as `rfft(effective_filter(...), n_fft)` (see
+    `_zoom_matrices`); used by the block renderers where n_fft is small.
+    """
+    L = next_pow2(taps + DELAY_PAD)
+    FL = L // 2 + 1
+    Fn = n_fft // 2 + 1
+    m1, m2 = _zoom_matrices(taps, n_fft)
+    M1, M2 = jnp.asarray(m1), jnp.asarray(m2)
+
+    # Precision.HIGHEST: TPU matmuls default to bf16 multiplies, which
+    # was measured to cap parity at ~53 dB — below the 60 dB gate. The
+    # f32 (3-pass) mode keeps parity >100 dB at negligible cost here.
+    G = jnp.matmul(h, M1, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (..., 2FL)
+    Gr, Gi = G[..., :FL], G[..., FL:]
+    ramp = delay_ramp(L, _clip_delay(d))  # (..., 2, FL) complex
+    c, s = ramp.real, ramp.imag
+    gg = g[..., None]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * gg, (Gr * s + Gi * c) * gg],
+                         axis=-1)
+    H = jnp.matmul(G2, M2, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (..., 2Fn)
+    return jax.lax.complex(H[..., :Fn], H[..., Fn:])
+
+
+@lru_cache(maxsize=8)
+def _partition_zoom_matrices(taps: int, block: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Like `_zoom_matrices`, but the output map lands directly on the
+    streaming renderer's partition spectra: G' ↦ rfft_2B of each hop-sized
+    chunk of trunc(irfft_L(G')) (see golden.partition_filter). Returns
+    (M1, M2p, P) with M2p: (2·F_L, P·2·(B+1))."""
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+    P = -(-T_pad // block)
+    F2 = block + 1
+
+    eye = np.eye(taps)
+    G = np.fft.rfft(eye, n=L, axis=-1)
+    M1 = np.concatenate([G.real, G.imag], axis=-1)
+
+    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
+    basis[:FL] = np.eye(FL)
+    basis[FL:] = 1j * np.eye(FL)
+    ht = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]  # (2FL, T_pad)
+    parts = np.zeros((2 * FL, P, block))
+    for p in range(P):
+        seg = ht[:, p * block : (p + 1) * block]
+        parts[:, p, : seg.shape[-1]] = seg
+    Hp = np.fft.rfft(parts, n=2 * block, axis=-1)  # (2FL, P, F2)
+    M2 = np.concatenate([Hp.real, Hp.imag], axis=-1)  # (2FL, P, 2F2)
+    return (M1.astype(np.float32),
+            M2.reshape(2 * FL, P * 2 * F2).astype(np.float32), P)
+
+
+def filter_partitions_mm(h: jax.Array, d: jax.Array, g: jax.Array,
+                         taps: int, block: int) -> jax.Array:
+    """Streaming partition spectra via the zoom matmuls.
+
+    h: (2, taps); d, g: (2,) → (P, 2, block+1) complex64 — same map as
+    golden.partition_filter(effective_filter(...)), per-block cost two
+    small MXU matmuls instead of three FFT stages.
+    """
+    L = next_pow2(taps + DELAY_PAD)
+    FL = L // 2 + 1
+    F2 = block + 1
+    m1, m2, P = _partition_zoom_matrices(taps, block)
+    M1, M2 = jnp.asarray(m1), jnp.asarray(m2)
+
+    G = jnp.matmul(h, M1, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (2, 2FL)
+    Gr, Gi = G[..., :FL], G[..., FL:]
+    ramp = delay_ramp(L, _clip_delay(d))
+    c, s = ramp.real, ramp.imag
+    gg = g[..., None]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * gg, (Gr * s + Gi * c) * gg],
+                         axis=-1)
+    Hm = jnp.matmul(G2, M2, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (2, P·2F2)
+    Hm = Hm.reshape(2, P, 2 * F2)
+    return jax.lax.complex(Hm[..., :F2], Hm[..., F2:]).transpose(1, 0, 2)
 
 
 def effective_filter(h: jax.Array, d: jax.Array, g: jax.Array,
