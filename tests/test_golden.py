@@ -133,9 +133,9 @@ def test_stream_state_roundtrip(table, rng):
     s1 = golden.GoldenStream(table, cfg)
     for i in range(2):
         s1.push(x[i * 256 : (i + 1) * 256], 10.0, 0.0)
-    saved = (s1.prev_in.copy(), s1.fdl.copy())
+    saved = (s1.prev_in.copy(), s1.fdl.copy(), s1.prev_H.copy())
     a = s1.push(x[2 * 256 : 3 * 256], 20.0, 0.0)
-    s1.prev_in, s1.fdl = saved
+    s1.prev_in, s1.fdl, s1.prev_H = saved
     b = s1.push(x[2 * 256 : 3 * 256], 20.0, 0.0)
     np.testing.assert_array_equal(a, b)
 

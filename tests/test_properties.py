@@ -103,3 +103,28 @@ def test_batched_stream_matches_individual(table, rng):
         for s in range(S):
             ys = np.asarray(singles[s].push(blocks[s], azs[s] + step, els[s]))
             assert snr_db(ys, yb[s]) > 100
+
+
+def test_stream_crossfade_suppresses_zipper(table, rng):
+    """A hard 90° direction jump mid-stream produces a smaller waveform
+    discontinuity at the block boundary with crossfade than without."""
+    from tinaural.config import RenderConfig
+
+    x = np.sin(2 * np.pi * 1000 * np.arange(8 * 256) / 44100)
+
+    def run(crossfade):
+        s = Stream(table, RenderConfig(stream_block=256, crossfade=crossfade))
+        outs = []
+        for i in range(8):
+            az = 30.0 if i < 4 else 120.0  # hard jump at block 4
+            outs.append(np.asarray(s.push(x[i * 256:(i + 1) * 256], az, 0.0)))
+        return np.concatenate(outs, axis=1)
+
+    def jump_metric(y):
+        # second difference magnitude right at the filter-switch boundary
+        b = 4 * 256
+        return float(np.max(np.abs(np.diff(y[:, b - 4 : b + 4], 2, axis=1))))
+
+    y_x = run(True)
+    y_h = run(False)
+    assert jump_metric(y_x) < jump_metric(y_h)

@@ -30,16 +30,20 @@ from ..ops.interp import interpolate
 
 
 class StreamState(NamedTuple):
-    """Carried streaming state: previous input block (B,) f32 and the FDL
-    of the last P input-frame spectra, stored as separate real/imag f32
-    planes (P, B+1). Split storage matters: the axon TPU backend cannot
+    """Carried streaming state: previous input block (B,) f32, the FDL of
+    the last P input-frame spectra, the previous filter partitions (for
+    crossfaded updates), and a started flag. Complex quantities are stored
+    as separate real/imag f32 planes: the axon TPU backend cannot
     materialise complex arrays eagerly (outside jit), so state that
     crosses the host boundary stays real and is recombined with
     `lax.complex` inside the compiled step."""
 
-    prev_in: jax.Array
-    fdl_re: jax.Array
+    prev_in: jax.Array          # (B,)
+    fdl_re: jax.Array           # (P, B+1)
     fdl_im: jax.Array
+    prev_h_re: jax.Array        # (P, 2, B+1)
+    prev_h_im: jax.Array
+    started: jax.Array          # () 0.0 before the first push
 
 
 def _n_parts(table: HrirTable, config: RenderConfig) -> int:
@@ -54,6 +58,9 @@ def init_state(table: HrirTable, config: RenderConfig) -> StreamState:
         prev_in=jnp.zeros((B,), dtype=jnp.float32),
         fdl_re=jnp.zeros((P, B + 1), dtype=jnp.float32),
         fdl_im=jnp.zeros((P, B + 1), dtype=jnp.float32),
+        prev_h_re=jnp.zeros((P, 2, B + 1), dtype=jnp.float32),
+        prev_h_im=jnp.zeros((P, 2, B + 1), dtype=jnp.float32),
+        started=jnp.zeros((), dtype=jnp.float32),
     )
 
 
@@ -78,9 +85,24 @@ def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
     X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))  # (F,) of 2B frame
     prev_fdl = jax.lax.complex(state.fdl_re, state.fdl_im)
     fdl = jnp.concatenate([X[None, :], prev_fdl[:-1]], axis=0)  # (P, F)
-    Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
-    y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail
-    return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag), y
+    if config.crossfade:
+        # render under previous AND current filters, crossfade over the
+        # block (streaming analog of BASELINE.json:9; first block uses
+        # the current filter on both sides)
+        prev_H = jax.lax.complex(state.prev_h_re, state.prev_h_im)
+        Hp = jnp.where(state.started > 0.5, prev_H, H)
+        Yn = jnp.einsum("pf,pef->ef", fdl, H)
+        Yp = jnp.einsum("pf,pef->ef", fdl, Hp)
+        yn = jnp.fft.irfft(Yn, n=2 * B, axis=-1)[:, B:]
+        yp = jnp.fft.irfft(Yp, n=2 * B, axis=-1)[:, B:]
+        w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
+        y = w * yn + (1.0 - w) * yp
+    else:
+        Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
+        y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # overlap-save tail
+    return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
+                       prev_h_re=H.real, prev_h_im=H.imag,
+                       started=jnp.ones((), dtype=jnp.float32)), y
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))

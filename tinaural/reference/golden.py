@@ -260,8 +260,15 @@ class GoldenStream:
     convolution with a frequency-domain delay line, per-block HRTF update.
 
     Latency = one block. State = (previous input block, FDL of past input
-    spectra) — the pytree the TPU version carries through `lax.scan`
-    (SURVEY.md §3.5, §5 "Checkpoint / resume").
+    spectra, previous filter partitions) — the pytree the TPU version
+    carries through `lax.scan` (SURVEY.md §3.5, §5 "Checkpoint / resume").
+
+    With ``config.crossfade`` (default), each block is rendered under both
+    the previous and the current filter and the outputs are linearly
+    crossfaded over the block — the streaming analog of the trajectory
+    renderer's crossfaded block convolution (BASELINE.json:9), suppressing
+    zipper noise under head rotation. The first block's "previous" filter
+    is the current one (matching the trajectory's b=0 convention).
     """
 
     def __init__(self, table: HrirTable, config: RenderConfig = RenderConfig()):
@@ -275,6 +282,7 @@ class GoldenStream:
         B = self.block
         self.prev_in = np.zeros(B)
         self.fdl = np.zeros((self.n_parts, B + 1), dtype=np.complex128)
+        self.prev_H = None  # set on first push
 
     def filter_partitions(self, az: float, el: float) -> np.ndarray:
         h_eff = direction_filter(self.table, az, el, self.config)
@@ -292,5 +300,12 @@ class GoldenStream:
         H = self.filter_partitions(az, el)  # (P, 2, B+1)
         Y = np.einsum("pf,pef->ef", self.fdl, H)
         y = np.fft.irfft(Y, 2 * B, axis=-1)[:, B:]
+        if self.config.crossfade:
+            Hp = H if self.prev_H is None else self.prev_H
+            Yp = np.einsum("pf,pef->ef", self.fdl, Hp)
+            yp = np.fft.irfft(Yp, 2 * B, axis=-1)[:, B:]
+            w = (np.arange(B) + 0.5) / B
+            y = w * y + (1.0 - w) * yp
         self.prev_in = xb
+        self.prev_H = H
         return y
