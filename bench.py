@@ -177,7 +177,14 @@ def w_static() -> dict:
 
 
 def w_stream() -> dict:
-    """Streaming push latency (block 256 ≈ 5.8 ms of audio)."""
+    """Streaming push cost (block 256 ≈ 5.8 ms of audio).
+
+    Two numbers: the fenced per-push latency *through this tunnel* (pays a
+    ~30 ms network RTT per block that a host-attached chip does not), and
+    the pipelined marginal per-push compute cost (pushes chain through the
+    carried state, so batching K pushes and fencing once measures pure
+    per-block device cost — the number that maps to a real deployment).
+    """
     from tinaural.config import RenderConfig
     from tinaural.data import load_hrir_set
     from tinaural.models import Stream
@@ -187,14 +194,26 @@ def w_stream() -> dict:
     xb = np.random.default_rng(4).standard_normal(B).astype(np.float32)
     for i in range(5):
         _fence(s.push(xb, 30.0 + i, 0.0))
-    # per-push latency including result readback — the realistic real-time
-    # loop (audio must return to the host every block)
+
+    def fenced(n):
+        t0 = time.perf_counter()
+        y = None
+        for i in range(n):
+            y = s.push(xb, 30.0 + i, 0.0)
+        _fence(y)
+        return time.perf_counter() - t0
+
+    # fenced every push: tunnel RTT per block
     t0 = time.perf_counter()
-    n = 50
-    for i in range(n):
+    for i in range(20):
         _fence(s.push(xb, 30.0 + i, 0.0))
-    per_block = (time.perf_counter() - t0) / n
-    return {"push_latency_ms": per_block * 1e3,
+    per_rtt = (time.perf_counter() - t0) / 20
+    # pipelined: state-chained pushes, one fence
+    t1 = min(fenced(10) for _ in range(2))
+    t2 = min(fenced(50) for _ in range(2))
+    per_compute = max((t2 - t1) / 40, 1e-9)
+    return {"push_compute_ms": per_compute * 1e3,
+            "push_latency_ms_incl_tunnel_rtt": per_rtt * 1e3,
             "realtime_budget_ms": B / SR * 1e3}
 
 
@@ -281,7 +300,9 @@ def main() -> None:
                 res["scene_moving"]["aggregate_audio_sec_per_sec"], 1),
             "scene_scaling_vs_1src": round(
                 res["scene"]["aggregate_audio_sec_per_sec"] / traj, 2),
-            "stream_push_latency_ms_block256": round(res["stream"]["push_latency_ms"], 3),
+            "stream_push_compute_ms_block256": round(res["stream"]["push_compute_ms"], 3),
+            "stream_push_latency_ms_incl_tunnel_rtt": round(
+                res["stream"]["push_latency_ms_incl_tunnel_rtt"], 3),
             "stream_block_audio_ms": round(res["stream"]["realtime_budget_ms"], 3),
             "oneshot_ms_incl_tunnel_rtt": round(res["traj"]["oneshot_ms_incl_rtt"], 1),
             "snr_vs_cpu_golden_db": round(res["snr"]["snr_db"], 1),
