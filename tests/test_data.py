@@ -185,3 +185,19 @@ def test_sofa_loader(tmp_path):
     assert t.sample_rate == 44100
     e_i = list(g.elevs).index(0.0)
     assert snr_db(h[e_i, :72], np.asarray(t.h[0], dtype=np.float64)) > 120
+
+
+def test_loader_resamples_to_target_rate():
+    """target_sample_rate polyphase-resamples; ITD in samples scales with
+    the rate (physical ITD in seconds is preserved)."""
+    t44 = load_hrir_set("synthetic", noise=0.0)
+    t48 = load_hrir_set("synthetic", noise=0.0, target_sample_rate=48000)
+    assert t48.sample_rate == 48000
+    assert t48.taps % 2 == 0
+    assert abs(t48.taps - 128 * 48000 / 44100) <= 2
+    e0 = list(np.asarray(t44.elevs)).index(0.0)
+    itd = lambda t: (np.asarray(t.delays, dtype=np.float64)[e0, 18, 0]
+                     - np.asarray(t.delays, dtype=np.float64)[e0, 18, 1])
+    itd_sec_44 = itd(t44) / 44100
+    itd_sec_48 = itd(t48) / 48000
+    assert abs(itd_sec_44 - itd_sec_48) < 2e-5  # < 1 sample @48k

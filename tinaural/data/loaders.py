@@ -35,29 +35,64 @@ from .wav import read_wav
 KEMAR_SAMPLE_RATE = 44100
 
 
+def resample_hrirs(h: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase-resample a dense HRIR array (..., T) to ``sr_out``.
+
+    Tap count scales by sr_out/sr_in (rounded up to even). Applied to the
+    *raw* responses before decomposition so delays/gains are estimated at
+    the target rate.
+    """
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    if sr_in == sr_out:
+        return h
+    g = gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    out = resample_poly(h, up, down, axis=-1)
+    if out.shape[-1] % 2:  # keep tap counts even (rfft-friendly)
+        out = np.concatenate([out, np.zeros((*out.shape[:-1], 1))], axis=-1)
+    return out
+
+
 def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
                   sample_rate: int = KEMAR_SAMPLE_RATE, taps: int = 128,
-                  noise: float = 1e-4, seed: int = 0) -> HrirTable:
+                  noise: float = 1e-4, seed: int = 0,
+                  target_sample_rate: int | None = None) -> HrirTable:
     """Load an HRIR set into an `HrirTable` (reference entry point (a)).
 
-    ``source`` is ``"synthetic"``, a KEMAR-layout directory, or a ``.sofa``
-    path. ``sample_rate``/``taps``/``noise``/``seed`` apply to the
-    synthetic source only; file sources carry their own rate/length.
+    ``source`` is ``"synthetic"``, a KEMAR-layout directory, a ``.sofa``
+    path, or a ``.npz`` saved by `save_table`. ``sample_rate``/``taps``/
+    ``noise``/``seed`` apply to the synthetic source only; file sources
+    carry their own rate/length. ``target_sample_rate`` polyphase-resamples
+    any source to the given rate before decomposition.
     """
+
+    def finish(h, grid, sr):
+        if target_sample_rate is not None and target_sample_rate != sr:
+            h = resample_hrirs(h, sr, target_sample_rate)
+            sr = target_sample_rate
+        return build_table(h, grid, sr, decompose=decompose)
+
     if source == "synthetic":
         h, grid = synthesize_hrirs(sample_rate=sample_rate, taps=taps,
                                    noise=noise, seed=seed)
-        return build_table(h, grid, sample_rate, decompose=decompose)
+        return finish(h, grid, sample_rate)
     if str(source).endswith(".npz"):
         from .table import load_table
 
-        return load_table(source)
+        table = load_table(source)
+        if target_sample_rate is not None and target_sample_rate != table.sample_rate:
+            raise ValueError(
+                ".npz tables are preprocessed; re-export at the target rate")
+        return table
     if str(source).endswith(".sofa"):
         h, grid, sr = _load_sofa(source)
-        return build_table(h, grid, sr, decompose=decompose)
+        return finish(h, grid, sr)
     if os.path.isdir(source):
         h, grid = _load_kemar_dir(source)
-        return build_table(h, grid, KEMAR_SAMPLE_RATE, decompose=decompose)
+        return finish(h, grid, KEMAR_SAMPLE_RATE)
     raise FileNotFoundError(f"unknown HRIR source {source!r}")
 
 
