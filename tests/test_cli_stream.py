@@ -35,3 +35,50 @@ def test_cli_export_roundtrip(tmp_path, rng):
     ref = load_hrir_set("synthetic")
     np.testing.assert_array_equal(np.asarray(t.h), np.asarray(ref.h))
     assert t.decomposed
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """utils.trace produces a profiler dump (SURVEY.md §5 tracing)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tinaural.utils import trace
+
+    d = tmp_path / "trace"
+    with trace(str(d)):
+        jnp.sum(jnp.arange(1000.0)).block_until_ready()
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert files, "no trace files written"
+
+
+def test_cli_fit_end_to_end(tmp_path, rng):
+    """fit CLI: render a 3 dB-hot target, fit, verify the personalized
+    table renders closer to the target than the stock table."""
+    from tinaural.config import RenderConfig
+    from tinaural.models import BinauralRenderer
+
+    sr = 44100
+    x = np.clip(rng.standard_normal(1024) * 0.2, -1, 1)
+    src = tmp_path / "src.wav"
+    write_wav(src, sr, x, dtype="float32")
+
+    table = load_hrir_set("synthetic")
+    cfg = RenderConfig(block_size=256)
+    y = np.asarray(BinauralRenderer(table, cfg).render_scene(
+        x[None, :], np.array([[75.0, 10.0]]))) * np.sqrt(2.0)
+    tgt = tmp_path / "target.wav"
+    write_wav(tgt, sr, y.T, dtype="float32")
+
+    out = tmp_path / "fitted.npz"
+    assert main(["fit", str(src), str(tgt), str(out), "--az", "75",
+                 "--el", "10", "--steps", "40", "--block", "256"]) == 0
+    fitted = load_hrir_set(str(out))
+    yf = np.asarray(BinauralRenderer(fitted, cfg).render_scene(
+        x[None, :], np.array([[75.0, 10.0]])))
+    y0 = np.asarray(BinauralRenderer(table, cfg).render_scene(
+        x[None, :], np.array([[75.0, 10.0]])))
+    n = min(y.shape[1], yf.shape[1])
+    err_fit = np.sum((yf[:, :n] - y[:, :n]) ** 2)
+    err_stock = np.sum((y0[:, :n] - y[:, :n]) ** 2)
+    assert err_fit < 0.2 * err_stock

@@ -180,6 +180,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Fit listener-personalization parameters: given a mono source, its
+    known direction and an observed binaural recording, recover EQ/ITD/
+    ILD/gain and export the personalized table."""
+    import jax
+
+    from .data import save_table
+    from .models.fit import fit_hrtf, personalize_table
+
+    table = load_hrir_set(args.hrir)
+    cfg = _config(args)
+    sr, x = _load_mono(args.input)
+    sr_t, target = read_wav(args.target)
+    if target.ndim != 2 or target.shape[1] != 2:
+        raise SystemExit("target must be a stereo WAV")
+    if sr_t != sr:
+        raise SystemExit(f"sample-rate mismatch: {sr} vs {sr_t}")
+    params, losses = fit_hrtf(
+        table, x[None, :], np.array([[args.az, args.el]]), target.T,
+        steps=args.steps, config=cfg)
+    fitted = jax.tree.map(np.asarray,
+                          personalize_table(jax.device_put(table), params))
+    save_table(args.output, fitted)
+    print(f"fit: loss {losses[0]:.3e} -> {losses[-1]:.3e} over {args.steps} "
+          f"steps; wrote {args.output}")
+    return 0
+
+
 def cmd_info(args) -> int:
     table = load_hrir_set(args.hrir)
     g = table.grid()
@@ -243,6 +271,16 @@ def main(argv=None) -> int:
     p.add_argument("--normalize", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("fit", help="fit personalization params to a recording")
+    p.add_argument("input", help="mono source WAV")
+    p.add_argument("target", help="observed binaural (stereo) WAV")
+    p.add_argument("output", help="output .npz personalized table")
+    p.add_argument("--az", type=float, required=True)
+    p.add_argument("--el", type=float, default=0.0)
+    p.add_argument("--steps", type=int, default=100)
+    _add_common(p)
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("export", help="preprocess an HRIR source into .npz")
     p.add_argument("output")
