@@ -282,32 +282,47 @@ def main() -> None:
     import jax  # parent process only reports the backend
 
     res = {}
+    errors = {}
     for gname in GROUPS:
-        res.update(_run_group(gname))
-    traj = res["traj"]["audio_sec_per_sec"]
+        try:
+            res.update(_run_group(gname))
+        except Exception as e:  # keep the headline line printable even if
+            errors[gname] = str(e)[:200]  # a group times out on the tunnel
+    def get(*path, scale=1.0, nd=1):
+        cur = res
+        for k in path:
+            if not isinstance(cur, dict) or k not in cur:
+                return None
+            cur = cur[k]
+        return round(cur * scale, nd)
+
+    traj = get("traj", "audio_sec_per_sec")
+    extras = {
+        "1src_trajectory_pallas": get("traj_pallas", "audio_sec_per_sec"),
+        "1src_static_direct": get("static", "audio_sec_per_sec"),
+        "64src_static_scene_aggregate": get("scene", "aggregate_audio_sec_per_sec"),
+        "64src_moving_scene_aggregate": get("scene_moving",
+                                            "aggregate_audio_sec_per_sec"),
+        "stream_push_compute_ms_block256": get("stream", "push_compute_ms", nd=3),
+        "stream_push_latency_ms_incl_tunnel_rtt": get(
+            "stream", "push_latency_ms_incl_tunnel_rtt", nd=3),
+        "stream_block_audio_ms": get("stream", "realtime_budget_ms", nd=3),
+        "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),
+        "snr_vs_cpu_golden_db": get("snr", "snr_db"),
+        "snr_gate_db": 60.0,
+    }
+    if traj and extras["64src_static_scene_aggregate"]:
+        extras["scene_scaling_vs_1src"] = round(
+            extras["64src_static_scene_aggregate"] / traj, 2)
+    if errors:
+        extras["errors"] = errors
     result = {
         "metric": "1src_audio_sec_per_sec_per_chip",
-        "value": round(traj, 1),
+        "value": traj if traj is not None else 0.0,
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(traj / TARGET_X_REALTIME, 3),
+        "vs_baseline": round((traj or 0.0) / TARGET_X_REALTIME, 3),
         "backend": jax.default_backend(),
-        "extras": {
-            "1src_trajectory_pallas": round(res["traj_pallas"]["audio_sec_per_sec"], 1),
-            "1src_static_direct": round(res["static"]["audio_sec_per_sec"], 1),
-            "64src_static_scene_aggregate": round(
-                res["scene"]["aggregate_audio_sec_per_sec"], 1),
-            "64src_moving_scene_aggregate": round(
-                res["scene_moving"]["aggregate_audio_sec_per_sec"], 1),
-            "scene_scaling_vs_1src": round(
-                res["scene"]["aggregate_audio_sec_per_sec"] / traj, 2),
-            "stream_push_compute_ms_block256": round(res["stream"]["push_compute_ms"], 3),
-            "stream_push_latency_ms_incl_tunnel_rtt": round(
-                res["stream"]["push_latency_ms_incl_tunnel_rtt"], 3),
-            "stream_block_audio_ms": round(res["stream"]["realtime_budget_ms"], 3),
-            "oneshot_ms_incl_tunnel_rtt": round(res["traj"]["oneshot_ms_incl_rtt"], 1),
-            "snr_vs_cpu_golden_db": round(res["snr"]["snr_db"], 1),
-            "snr_gate_db": 60.0,
-        },
+        "extras": extras,
     }
     print(json.dumps(result))
 
