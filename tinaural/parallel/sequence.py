@@ -31,7 +31,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..models.renderer import _trajectory_core
-from ..ops.filters import DELAY_PAD, next_pow2
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
