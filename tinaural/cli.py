@@ -47,17 +47,22 @@ def _config(args) -> RenderConfig:
     )
 
 
-def _load_mono(path: str):
+def _load_mono(path: str, table=None):
     sr, x = read_wav(path)
     if x.ndim > 1:
         x = x.mean(axis=1)  # downmix to mono
+    if table is not None and sr != table.sample_rate:
+        raise SystemExit(
+            f"{path}: sample rate {sr} != HRIR table rate {table.sample_rate}; "
+            f"load the table with --hrir + target_sample_rate matching, or "
+            f"resample the audio")
     return sr, x
 
 
 def cmd_render(args) -> int:
     table = load_hrir_set(args.hrir)
     cfg = _config(args)
-    sr, x = _load_mono(args.input)
+    sr, x = _load_mono(args.input, table)
     if args.cpu_golden:
         from .reference import golden
 
@@ -74,7 +79,7 @@ def cmd_render(args) -> int:
 def _render_trajectory(args, dirs_fn) -> int:
     table = load_hrir_set(args.hrir)
     cfg = _config(args)
-    sr, x = _load_mono(args.input)
+    sr, x = _load_mono(args.input, table)
     nb = -(-len(x) // cfg.block_size)
     dirs = dirs_fn(nb, cfg, sr)
     if args.cpu_golden:
@@ -121,6 +126,9 @@ def cmd_scene(args) -> int:
     if len(srs) != 1:
         raise SystemExit(f"all sources must share one sample rate, got {srs}")
     sr = srs.pop()
+    if sr != table.sample_rate:
+        raise SystemExit(
+            f"scene sample rate {sr} != HRIR table rate {table.sample_rate}")
     n = max(len(x) for x in sigs)
     xs = np.zeros((len(sigs), n))
     for i, x in enumerate(sigs):
@@ -143,7 +151,7 @@ def cmd_stream(args) -> int:
     through the streaming renderer while the head rotates."""
     table = load_hrir_set(args.hrir)
     cfg = _config(args).replace(stream_block=args.stream_block)
-    sr, x = _load_mono(args.input)
+    sr, x = _load_mono(args.input, table)
     B = cfg.stream_block
     nb = len(x) // B
     if nb == 0:
@@ -191,7 +199,7 @@ def cmd_fit(args) -> int:
 
     table = load_hrir_set(args.hrir)
     cfg = _config(args)
-    sr, x = _load_mono(args.input)
+    sr, x = _load_mono(args.input, table)
     sr_t, target = read_wav(args.target)
     if target.ndim != 2 or target.shape[1] != 2:
         raise SystemExit("target must be a stereo WAV")
