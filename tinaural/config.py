@@ -38,12 +38,14 @@ class RenderConfig:
         samples.
       crossfade: crossfade the per-block filters of a moving source to
         avoid zipper noise (BASELINE.json:9 "crossfaded block conv").
-      filter_path: how per-direction filter spectra are assembled:
-        ``"matmul"`` (default) precomposes the fixed linear stages of the
-        assembly chain into two MXU matmuls around the direction-dependent
-        ramp/gain diagonal (same linear map as the FFT chain, built from
-        it — see tinaural.ops.filters._zoom_matrices); ``"fft"`` keeps the
-        explicit rfft→ramp→irfft→truncate→rfft chain.
+      filter_path: how per-direction filter spectra are assembled — all
+        three compute the same linear map (matrices are built from the
+        NumPy oracle chain; see tinaural.ops.filters):
+        ``"matmul"`` (default, fastest measured: 20.8k vs 15.8k
+        audio-sec/s for hybrid): both fixed stages as full zoom matmuls;
+        ``"hybrid"``: small MXU matmuls for the rfft_L/ramp/irfft+truncate
+        stages + one batched XLA rfft of the result;
+        ``"fft"``: the explicit rfft→ramp→irfft→truncate→rfft chain.
       scene_chunk: sources rendered per lax.map step in the scene
         renderer. Full vmap over 64+ sources materialises ~0.5 GB of
         block spectra (measured 40x slowdown); chunks keep peak
@@ -75,8 +77,9 @@ class RenderConfig:
             raise ValueError(f"interp must be nearest|bilinear, got {self.interp!r}")
         if self.out_length not in ("full", "same"):
             raise ValueError(f"out_length must be full|same, got {self.out_length!r}")
-        if self.filter_path not in ("matmul", "fft"):
-            raise ValueError(f"filter_path must be matmul|fft, got {self.filter_path!r}")
+        if self.filter_path not in ("hybrid", "matmul", "fft"):
+            raise ValueError(
+                f"filter_path must be hybrid|matmul|fft, got {self.filter_path!r}")
         for name in ("block_size", "stream_block"):
             v = getattr(self, name)
             if v <= 0 or (v & (v - 1)) != 0:

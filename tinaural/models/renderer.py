@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..ops.filters import (DELAY_PAD, effective_filter,
+from ..ops.filters import (DELAY_PAD, effective_filter, filter_spectrum_hybrid,
                           filter_spectrum_mm, next_pow2)
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
@@ -57,7 +57,9 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
 
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
-    if config.filter_path == "matmul":
+    if config.filter_path == "hybrid":
+        Hc = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (nb, 2, F)
+    elif config.filter_path == "matmul":
         Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
     else:
         h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
@@ -101,7 +103,9 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     h, d, g = interpolate(table, dir2[0], dir2[1], config)
-    if config.filter_path == "matmul":
+    if config.filter_path == "hybrid":
+        H = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (2, F)
+    elif config.filter_path == "matmul":
         H = filter_spectrum_mm(h, d, g, taps, n_fft)  # (2, F)
     else:
         h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)

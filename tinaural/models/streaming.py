@@ -70,7 +70,7 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     B = config.stream_block
     P = _n_parts(table, config)
     h, d, g = interpolate(table, az, el, config)
-    if config.filter_path == "matmul":
+    if config.filter_path in ("matmul", "hybrid"):
         return filter_partitions_mm(h, d, g, table.h.shape[-1], B)
     h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
     parts = jnp.zeros((2, P * B), dtype=h_eff.dtype).at[:, : h_eff.shape[-1]].set(h_eff)

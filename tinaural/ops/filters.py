@@ -121,6 +121,56 @@ def filter_spectrum_mm(h: jax.Array, d: jax.Array, g: jax.Array,
 
 
 @lru_cache(maxsize=8)
+def _hybrid_matrices(taps: int) -> tuple[np.ndarray, np.ndarray]:
+    """M1 (taps → 2F_L re/im spectra) and MB (2F_L → T_pad time domain:
+    irfft_L + truncate composed). Stage profiling showed the *small* FFTs
+    (the L=256 roundtrip) dominate the assembly cost on this backend while
+    large batched FFTs are cheap — so the hybrid path does the small maps
+    as matmuls and leaves the final rfft_nfft to XLA. The full-zoom M2 of
+    `_zoom_matrices` also wastes rank: it factors through the T_pad-sample
+    time domain (rank ≤ T_pad), which is exactly what MB exposes."""
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+
+    eye = np.eye(taps)
+    G = np.fft.rfft(eye, n=L, axis=-1)
+    M1 = np.concatenate([G.real, G.imag], axis=-1)
+
+    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
+    basis[:FL] = np.eye(FL)
+    basis[FL:] = 1j * np.eye(FL)
+    MB = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]  # (2FL, T_pad)
+    return M1.astype(np.float32), MB.astype(np.float32)
+
+
+def filter_spectrum_hybrid(h: jax.Array, d: jax.Array, g: jax.Array,
+                           taps: int, n_fft: int) -> jax.Array:
+    """Effective-filter spectrum via small MXU matmuls + one batched rfft.
+
+    Same linear map as `filter_spectrum_mm` / the FFT chain (matrices are
+    pushed through the NumPy oracle); fastest variant measured on TPU.
+    h: (..., 2, taps); d, g: (..., 2) → (..., 2, n_fft//2+1) complex64.
+    """
+    L = next_pow2(taps + DELAY_PAD)
+    FL = L // 2 + 1
+    m1, mb = _hybrid_matrices(taps)
+    M1, MB = jnp.asarray(m1), jnp.asarray(mb)
+
+    G = jnp.matmul(h, M1, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    Gr, Gi = G[..., :FL], G[..., FL:]
+    ramp = delay_ramp(L, _clip_delay(d))
+    c, s = ramp.real, ramp.imag
+    gg = g[..., None]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * gg, (Gr * s + Gi * c) * gg],
+                         axis=-1)
+    h_eff = jnp.matmul(G2, MB, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (..., 2, T_pad)
+    return jnp.fft.rfft(h_eff, n=n_fft)
+
+
+@lru_cache(maxsize=8)
 def _partition_zoom_matrices(taps: int, block: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Like `_zoom_matrices`, but the output map lands directly on the
     streaming renderer's partition spectra: G' ↦ rfft_2B of each hop-sized
