@@ -165,3 +165,30 @@ def test_itd_ild_flags(table, rng):
     e = lambda y: np.sum(y**2, axis=1)
     assert e(on)[1] / e(on)[0] > 2.0
     assert e(no_ild)[1] / e(no_ild)[0] < 2.0
+
+
+def test_edge_case_signals(table):
+    """Degenerate inputs: single-sample, zero, shorter-than-block."""
+    cfg = RenderConfig(block_size=256)
+    one = np.ones(1)
+    y = golden.render_static(table, one, 10.0, 0.0, cfg)
+    assert y.shape[1] == 1 + golden.t_eff(table) - 1
+    zero = np.zeros(300)
+    y = golden.render_trajectory(table, zero, np.tile([5.0, 5.0], (2, 1)), cfg)
+    assert np.all(y == 0)
+    short = np.ones(100)  # < one block
+    y = golden.render_trajectory(table, short, np.tile([5.0, 5.0], (1, 1)), cfg)
+    assert np.all(np.isfinite(y))
+
+
+def test_tpu_edge_case_signals(table):
+    from tinaural.models import BinauralRenderer
+
+    cfg = RenderConfig(block_size=256)
+    r = BinauralRenderer(table, cfg)
+    y = np.asarray(r.render(np.ones(1), 10.0, 0.0))
+    ref = golden.render_static(table, np.ones(1), 10.0, 0.0, cfg)
+    assert snr_db(ref, y) > 60
+    y = np.asarray(r.render_trajectory(np.ones(100), np.tile([5.0, 5.0], (1, 1))))
+    ref = golden.render_trajectory(table, np.ones(100), np.tile([5.0, 5.0], (1, 1)), cfg)
+    assert snr_db(ref, y) > 60

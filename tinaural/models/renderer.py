@@ -55,8 +55,9 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
 
-    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
-        dirs[:, 0], dirs[:, 1])
+    with jax.named_scope("hrtf_gather"):
+        h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+            dirs[:, 0], dirs[:, 1])
     if config.filter_path == "hybrid":
         Hc = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (nb, 2, F)
     elif config.filter_path == "matmul":
@@ -79,8 +80,9 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
             Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
     else:
         Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
-    y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
-    return overlap_add(jnp.moveaxis(y, 0, 1), B)  # (2, out)
+    with jax.named_scope("irfft_ola"):
+        y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
+        return overlap_add(jnp.moveaxis(y, 0, 1), B)  # (2, out)
 
 
 @partial(jax.jit, static_argnames=("config",))
