@@ -167,3 +167,19 @@ def test_jit_no_recompile_across_directions(table, rng):
     r.render(x, 123.4, -20.0)
     r.render(x, 77.7, 55.5)
     assert _static_fn._cache_size() == misses0
+
+
+def test_render_batch_matches_individual(table, rng):
+    """render_batch == per-source render_trajectory, no cross-talk."""
+    cfg = RenderConfig(block_size=256)
+    r = BinauralRenderer(table, cfg)
+    S, N = 3, 700
+    xs = rng.standard_normal((S, N))
+    dirs = np.stack([rng.uniform(0, 360, S), rng.uniform(-40, 90, S)], axis=1)
+    yb = np.asarray(r.render_batch(xs, dirs))
+    assert yb.shape[0] == S and yb.shape[1] == 2
+    nb = -(-N // 256)
+    for s in range(S):
+        ys = np.asarray(r.render_trajectory(
+            xs[s], np.tile(dirs[s], (nb, 1))))
+        assert snr_db(ys, yb[s]) > 100

@@ -136,6 +136,26 @@ def _scene_static_fn(table, xbs, dirs, config):
 
 
 @partial(jax.jit, static_argnames=("config",))
+def _batch_fn(table, xbs, dirs, config):
+    """Batch of independent renders (NO mixdown): xbs (S, nb, B), dirs
+    (S, nb, 2) → (S, 2, out). Serving-mode batching: many files/requests
+    per device dispatch."""
+    S = xbs.shape[0]
+    ch = min(S, config.scene_chunk)
+    if S % ch:
+        ch = 1
+    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
+    dc = dirs.reshape(S // ch, ch, *dirs.shape[1:])
+
+    def chunk(args):
+        xb, dr = args
+        return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
+
+    y = jax.lax.map(chunk, (xc, dc))  # (S/ch, ch, 2, out)
+    return y.reshape(S, *y.shape[2:])
+
+
+@partial(jax.jit, static_argnames=("config",))
 def _scene_fn(table, xbs, dirs, config):
     """Batched scene render + stereo mixdown. xbs: (S, nb, B); dirs:
     (S, nb, 2) → (2, out). Sources are processed config.scene_chunk at a
@@ -229,6 +249,23 @@ class BinauralRenderer:
             raise ValueError(f"dirs must be ({nb}, 2), got {dirs.shape}")
         y = _trajectory_fn(self.table, xb, dirs, self.config)
         return y[:, : self._out_len(N)]
+
+    # -- batched independent renders (serving mode)
+
+    def render_batch(self, xs, dirs) -> jax.Array:
+        """Render S independent mono signals, each along its own path, in
+        ONE device call → (S, 2, out_len). Like `render_scene` without
+        the mixdown — the offline-serving workhorse (amortises dispatch
+        across requests). dirs: (S, 2) static or (S, n_blocks, 2)."""
+        xbs, N = self._blockify(xs)
+        S, nb = xbs.shape[0], xbs.shape[1]
+        dirs = np.asarray(dirs, dtype=np.float32)
+        if dirs.ndim == 2:
+            dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
+        if dirs.shape != (S, nb, 2):
+            raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
+        y = _batch_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+        return y[:, :, : self._out_len(N)]
 
     # -- scene render (BASELINE.json:10)
 
