@@ -1,12 +1,13 @@
 """Utilities: trajectory paths, profiling, logging."""
 
 from .paths import circular_sweep, waypoints_to_block_dirs
-from .profiling import fence, steady_state, timeit, trace
+from .profiling import enable_debug_checks, fence, steady_state, timeit, trace
 
 __all__ = [
     "circular_sweep",
     "waypoints_to_block_dirs",
     "fence",
+    "enable_debug_checks",
     "steady_state",
     "timeit",
     "trace",

@@ -38,6 +38,14 @@ def trace(log_dir: str = "/tmp/tinaural-trace"):
         jax.profiler.stop_trace()
 
 
+def enable_debug_checks(nans: bool = True, infs: bool = True) -> None:
+    """Turn on JAX's numerical sanitizers (SURVEY.md §5 "Race detection /
+    sanitizers"): every jitted computation re-runs un-jitted and raises on
+    the first NaN/Inf. Debugging aid — large slowdown."""
+    jax.config.update("jax_debug_nans", nans)
+    jax.config.update("jax_debug_infs", infs)
+
+
 def timeit(fn, iters: int = 5, warmup: int = 1) -> float:
     """Best-of wall seconds for fn() (fn must fence its own work)."""
     for _ in range(warmup):
