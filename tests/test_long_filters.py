@@ -63,3 +63,32 @@ def test_long_taps_static_parity(long_table, rng):
     y = np.asarray(BinauralRenderer(long_table, RenderConfig()).render(x, 200.0, -5.0))
     ref = golden.render_static(long_table, x, 200.0, -5.0, RenderConfig())
     assert snr_db(ref, y) > 60
+
+
+def test_partitioned_offline_matches_stream(long_table, rng):
+    """render_streamed (batched partitioned conv) == Stream.push loop,
+    with P=3 partitions and per-block head rotation + crossfade."""
+    cfg = RenderConfig(stream_block=128)
+    r = BinauralRenderer(long_table, cfg)
+    nb = 10
+    x = rng.standard_normal(nb * 128)
+    dirs = np.stack([np.linspace(20, 340, nb), np.linspace(-40, 90, nb)], axis=1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gs = golden.GoldenStream(long_table, cfg)
+    ref = np.concatenate(
+        [gs.push(x[i * 128 : (i + 1) * 128], *dirs[i]) for i in range(nb)], axis=1)
+    assert y.shape == ref.shape == (2, nb * 128)
+    assert snr_db(ref, y) > 60
+
+
+def test_partitioned_offline_default_table(table, rng):
+    cfg = RenderConfig(stream_block=256)
+    r = BinauralRenderer(table, cfg)
+    nb = 6
+    x = rng.standard_normal(nb * 256)
+    dirs = np.stack([np.linspace(0, 180, nb), np.zeros(nb)], axis=1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gs = golden.GoldenStream(table, cfg)
+    ref = np.concatenate(
+        [gs.push(x[i * 256 : (i + 1) * 256], *dirs[i]) for i in range(nb)], axis=1)
+    assert snr_db(ref, y) > 60

@@ -135,6 +135,51 @@ def _scene_static_fn(table, xbs, dirs, config):
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
 
 
+def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
+                      config: RenderConfig) -> jax.Array:
+    """Batched partitioned convolution (BASELINE.json:10 "batched
+    partitioned convolution"): the streaming renderer's exact math with
+    every block parallel. xb: (nb, B); dirs: (nb, 2) → (2, nb·B)
+    ("same"-length output, like streaming).
+
+    FFT frame stays 2·B regardless of filter length (P partitions), so
+    this path renders arbitrarily long HRIRs/BRIRs; it also IS the
+    offline equivalent of `Stream.render_offline`, batched instead of
+    scanned (parity tested against GoldenStream block by block).
+    """
+    from ..ops.filters import filter_partitions_mm
+    from ..ops.partitioned import (frame_spectra, overlap_save_tail,
+                                   partitioned_mac, shifted_stack)
+
+    taps = table.h.shape[-1]
+    nb, B = xb.shape
+    P = -(-(taps + DELAY_PAD) // B)
+
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        dirs[:, 0], dirs[:, 1])
+    Hb = jax.vmap(lambda hh, dd, gg: filter_partitions_mm(hh, dd, gg, taps, B))(
+        h, d, g)  # (nb, P, 2, F)
+
+    X = frame_spectra(xb)  # (nb, F)
+    Xs = shifted_stack(X, P)  # (P, nb, F)
+    Yn = partitioned_mac(Xs, Hb)
+    if config.crossfade:
+        Hp = jnp.concatenate([Hb[:1], Hb[:-1]], axis=0)
+        Yp = partitioned_mac(Xs, Hp)
+        yn = overlap_save_tail(Yn, B)
+        yp = overlap_save_tail(Yp, B)
+        w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
+        y = w * yn + (1.0 - w) * yp
+    else:
+        y = overlap_save_tail(Yn, B)
+    return jnp.moveaxis(y, 1, 0).reshape(2, nb * B)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _partitioned_fn(table, xb, dirs, config):
+    return _partitioned_core(table, xb, dirs, config)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _batch_fn(table, xbs, dirs, config):
     """Batch of independent renders (NO mixdown): xbs (S, nb, B), dirs
@@ -249,6 +294,24 @@ class BinauralRenderer:
             raise ValueError(f"dirs must be ({nb}, 2), got {dirs.shape}")
         y = _trajectory_fn(self.table, xb, dirs, self.config)
         return y[:, : self._out_len(N)]
+
+    # -- batched partitioned convolution (streaming semantics, offline)
+
+    def render_streamed(self, x, dirs) -> jax.Array:
+        """Exactly what `Stream.push` would produce block by block, but as
+        ONE batched partitioned-convolution device call (BASELINE.json:10
+        "batched partitioned convolution"; frame = 2·stream_block, so
+        filter length never grows the FFT size). x: (N,), N a multiple of
+        config.stream_block; dirs: (n_blocks, 2) → (2, N)."""
+        B = self.config.stream_block
+        x = np.asarray(x, dtype=np.float32)
+        if x.shape[-1] % B != 0:
+            raise ValueError(f"signal length must be a multiple of {B}")
+        xb = jnp.asarray(x.reshape(-1, B))
+        dirs = jnp.asarray(np.asarray(dirs, dtype=np.float32))
+        if dirs.shape != (xb.shape[0], 2):
+            raise ValueError(f"dirs must be ({xb.shape[0]}, 2), got {dirs.shape}")
+        return _partitioned_fn(self.table, xb, dirs, self.config)
 
     # -- batched independent renders (serving mode)
 

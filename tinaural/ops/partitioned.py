@@ -1,0 +1,49 @@
+"""Batched partitioned convolution (BASELINE.json:10/11) — offline form.
+
+The streaming renderer runs uniformly partitioned overlap-save convolution
+one block at a time (`tinaural.models.streaming`). This module computes
+the SAME math with every block batched: all input frames FFT at once, the
+P-partition delay-line MAC becomes P block-shifted multiplies, all inverse
+FFTs batch. Wall-clock parallelism instead of a sequential scan — the
+TPU-native way to run streaming semantics offline — and, because the FFT
+frame stays 2·B regardless of filter length, it renders arbitrarily long
+HRIRs/BRIRs without growing n_fft (the whole-filter block renderer needs
+n_fft ≥ B + T_eff − 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def frame_spectra(xb: jax.Array) -> jax.Array:
+    """Blocks (nb, B) → 50%-overlap-save frame spectra (nb, B+1).
+
+    Frame b = [block b−1 | block b] (block −1 = silence), rfft at 2B.
+    """
+    nb, B = xb.shape
+    prev = jnp.concatenate([jnp.zeros((1, B), xb.dtype), xb[:-1]], axis=0)
+    return jnp.fft.rfft(jnp.concatenate([prev, xb], axis=-1), axis=-1)
+
+
+def shifted_stack(X: jax.Array, P: int) -> jax.Array:
+    """(nb, F) → (P, nb, F) with slice p = X delayed by p blocks
+    (zero-filled): the frequency-domain delay line, materialised."""
+    nb = X.shape[0]
+    return jnp.stack(
+        [jnp.pad(X, ((p, 0), (0, 0)))[:nb] for p in range(P)], axis=0)
+
+
+def partitioned_mac(Xs: jax.Array, H: jax.Array) -> jax.Array:
+    """Delay-line MAC. Xs: (P, nb, F); H: (P, 2, F) static filter or
+    (nb, P, 2, F) per-block filters → (nb, 2, F)."""
+    if H.ndim == 3:
+        return jnp.einsum("pbf,pef->bef", Xs, H)
+    return jnp.einsum("pbf,bpef->bef", Xs, H)
+
+
+def overlap_save_tail(Y: jax.Array, B: int) -> jax.Array:
+    """(nb, 2, F) spectra → valid output blocks (nb, 2, B) (last B of each
+    2B frame) → callers reshape to (2, nb·B)."""
+    return jnp.fft.irfft(Y, n=2 * B, axis=-1)[..., B:]
