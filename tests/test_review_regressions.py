@@ -1,0 +1,106 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tinaural.config import RenderConfig
+from tinaural.data import load_hrir_set, save_table
+from tinaural.models import BinauralRenderer, Stream
+from tinaural.reference import golden
+
+from conftest import snr_db
+
+
+def test_stream_state_survives_subsequent_push(table, rng):
+    """Finding 1: the state getter must hand out buffers that stay valid
+    after further pushes (donation used to delete them)."""
+    s = Stream(table, RenderConfig(stream_block=256))
+    x = rng.standard_normal(3 * 256).astype(np.float32)
+    s.push(x[:256], 10.0, 0.0)
+    ckpt = s.state  # live jnp buffers, no host copy
+    a = np.asarray(s.push(x[256:512], 20.0, 0.0))
+    # the checkpoint must still be readable AND restorable
+    _ = np.asarray(ckpt.prev_in)
+    s.state = ckpt
+    b = np.asarray(s.push(x[256:512], 20.0, 0.0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_single_elevation_ring_grid(rng):
+    """Finding 2: a horizontal-plane-only set (one ring) must render,
+    not produce NaN."""
+    import h5py
+
+    from tinaural.data.grids import SphericalGrid
+    from tinaural.data.synthetic import synthesize_hrirs
+    from tinaural.data.table import build_table
+
+    h, g = synthesize_hrirs(taps=64, noise=0.0)
+    e_i = list(g.elevs).index(0.0)
+    grid1 = SphericalGrid(elevs=np.array([0.0]), az_counts=np.array([72]))
+    table1 = build_table(h[e_i : e_i + 1], grid1, 44100, decompose=True)
+
+    x = rng.standard_normal(500)
+    ref = golden.render_static(table1, x, 123.0, 30.0, RenderConfig())
+    assert np.all(np.isfinite(ref))
+    y = np.asarray(BinauralRenderer(table1, RenderConfig()).render(x, 123.0, 30.0))
+    assert np.all(np.isfinite(y))
+    assert snr_db(ref, y) > 60
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_long_sharded_short_signal_long_filter(rng):
+    """Finding 3: block-sharded render where the OLA tail exceeds the raw
+    per-shard span — must pad, not crash with a broadcast error."""
+    from tinaural.parallel import make_mesh, render_long_sharded
+
+    long_table = load_hrir_set("synthetic", taps=512)
+    cfg = RenderConfig(block_size=128, out_length="same")
+    mesh = make_mesh((1, 8))
+    N = 8 * 128  # one raw block per shard; tail (n_fft-B) ≫ span
+    x = rng.standard_normal(N)
+    dirs = np.stack([np.linspace(0, 300, 8), np.zeros(8)], axis=1)
+    y = np.asarray(render_long_sharded(long_table, x, dirs, mesh, cfg))
+    ref = golden.render_trajectory(long_table, x, dirs, cfg)[:, :N]
+    assert snr_db(ref, y) > 60
+
+
+def test_scene_nondivisible_source_count(table, rng):
+    """Finding 5: S not divisible by scene_chunk must still chunk (and be
+    correct); previously fell back to fully serialized ch=1."""
+    cfg = RenderConfig(block_size=256, scene_chunk=8)
+    xs = rng.standard_normal((13, 700))
+    dirs = np.stack([rng.uniform(0, 360, 13), rng.uniform(-40, 90, 13)], axis=1)
+    r = BinauralRenderer(table, cfg)
+    y = np.asarray(r.render_scene(xs, dirs))
+    ref = golden.render_scene(table, xs, dirs, cfg)
+    assert snr_db(ref, y) > 60
+    yb = np.asarray(r.render_batch(xs, dirs))
+    assert yb.shape[0] == 13
+
+
+def test_npz_decompose_conflict_raises(tmp_path, table):
+    """Finding 6: asking for a different decomposition than the stored
+    .npz must raise, not silently ignore."""
+    p = tmp_path / "t.npz"
+    save_table(p, table)  # decomposed table
+    with pytest.raises(ValueError, match="re-export"):
+        load_hrir_set(str(p), decompose=False)
+    t = load_hrir_set(str(p))  # unset → accepted
+    assert t.decomposed
+
+
+def test_streamed_respects_fft_filter_path(table, rng):
+    """Finding 7: render_streamed honors filter_path='fft' and matches
+    Stream bit-for-bit under it."""
+    cfg = RenderConfig(stream_block=256, filter_path="fft")
+    r = BinauralRenderer(table, cfg)
+    nb = 4
+    x = rng.standard_normal(nb * 256)
+    dirs = np.stack([np.linspace(0, 90, nb), np.zeros(nb)], axis=1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    s = Stream(table, cfg)
+    ref = np.asarray(s.render_offline(x, dirs))
+    assert snr_db(ref, y) > 100

@@ -230,9 +230,16 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import os
     import subprocess
 
-    return subprocess.call([sys.executable, "bench.py"])
+    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "bench.py")
+    if not os.path.exists(bench):
+        raise SystemExit(
+            "bench.py not found next to the tinaural package — run from a "
+            "source checkout (the benchmark harness is not installed)")
+    return subprocess.call([sys.executable, bench])
 
 
 def main(argv=None) -> int:

@@ -56,7 +56,7 @@ def resample_hrirs(h: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return out
 
 
-def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
+def load_hrir_set(source: str = "synthetic", *, decompose: bool | None = None,
                   sample_rate: int = KEMAR_SAMPLE_RATE, taps: int = 128,
                   noise: float = 1e-4, seed: int = 0,
                   target_sample_rate: int | None = None) -> HrirTable:
@@ -66,14 +66,18 @@ def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
     path, or a ``.npz`` saved by `save_table`. ``sample_rate``/``taps``/
     ``noise``/``seed`` apply to the synthetic source only; file sources
     carry their own rate/length. ``target_sample_rate`` polyphase-resamples
-    any source to the given rate before decomposition.
+    any source to the given rate before decomposition. ``decompose``
+    defaults to True for raw sources; for preprocessed ``.npz`` tables it
+    must match the stored table (or be left unset).
     """
+
+    dec = True if decompose is None else decompose
 
     def finish(h, grid, sr):
         if target_sample_rate is not None and target_sample_rate != sr:
             h = resample_hrirs(h, sr, target_sample_rate)
             sr = target_sample_rate
-        return build_table(h, grid, sr, decompose=decompose)
+        return build_table(h, grid, sr, decompose=dec)
 
     if source == "synthetic":
         h, grid = synthesize_hrirs(sample_rate=sample_rate, taps=taps,
@@ -86,6 +90,11 @@ def load_hrir_set(source: str = "synthetic", *, decompose: bool = True,
         if target_sample_rate is not None and target_sample_rate != table.sample_rate:
             raise ValueError(
                 ".npz tables are preprocessed; re-export at the target rate")
+        if decompose is not None and decompose != table.decomposed:
+            raise ValueError(
+                f".npz table was saved with decomposed={table.decomposed}; "
+                f"re-export it (tinaural export{'' if decompose else ' --raw'}) "
+                f"instead of passing decompose={decompose}")
         return table
     if str(source).endswith(".sofa"):
         h, grid, sr = _load_sofa(source)

@@ -147,7 +147,7 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     offline equivalent of `Stream.render_offline`, batched instead of
     scanned (parity tested against GoldenStream block by block).
     """
-    from ..ops.filters import filter_partitions_mm
+    from ..ops.filters import filter_partitions
     from ..ops.partitioned import (frame_spectra, overlap_save_tail,
                                    partitioned_mac, shifted_stack)
 
@@ -155,9 +155,11 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     nb, B = xb.shape
     P = -(-(taps + DELAY_PAD) // B)
 
+    use_mm = config.filter_path != "fft"
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
-    Hb = jax.vmap(lambda hh, dd, gg: filter_partitions_mm(hh, dd, gg, taps, B))(
+    Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(hh, dd, gg, taps, B,
+                                                       use_matmul=use_mm))(
         h, d, g)  # (nb, P, 2, F)
 
     X = frame_spectra(xb)  # (nb, F)
@@ -222,6 +224,24 @@ def _scene_fn(table, xbs, dirs, config):
         return jnp.sum(y, axis=0)
 
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
+
+
+def _pad_sources(xbs, dirs, chunk: int):
+    """Pad the source axis with silent sources up to a multiple of the
+    scene chunk — without this, a non-divisible source count falls back
+    to chunk=1 and serializes the whole render (measured 40×). Padded
+    sources are silent, so scene mixdowns are exact; render_batch slices
+    the padding back off."""
+    S = xbs.shape[0]
+    ch = min(S, chunk) if S else chunk
+    pad = (-S) % max(ch, 1)
+    if pad == 0:
+        return xbs, dirs, S
+    xbs = jnp.concatenate(
+        [xbs, jnp.zeros((pad, *xbs.shape[1:]), xbs.dtype)], axis=0)
+    dirs = np.concatenate([dirs, np.tile(dirs[-1:], (pad,) + (1,) * (dirs.ndim - 1))],
+                          axis=0)
+    return xbs, dirs, S
 
 
 # ------------------------------------------------------------- host wrapper
@@ -327,8 +347,9 @@ class BinauralRenderer:
             dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
         if dirs.shape != (S, nb, 2):
             raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
-        y = _batch_fn(self.table, xbs, jnp.asarray(dirs), self.config)
-        return y[:, :, : self._out_len(N)]
+        xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
+        y = _batch_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
+        return y[:S, :, : self._out_len(N)]
 
     # -- scene render (BASELINE.json:10)
 
@@ -341,11 +362,13 @@ class BinauralRenderer:
         if dirs.ndim == 2:
             if dirs.shape != (S, 2):
                 raise ValueError(f"dirs must be ({S}, 2), got {dirs.shape}")
-            y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+            xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
+            y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
         else:
             if dirs.shape != (S, nb, 2):
                 raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
-            y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+            xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
+            y = _scene_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
         return y[:, : self._out_len(N)]
 
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..ops.filters import DELAY_PAD, effective_filter, filter_partitions_mm
+from ..ops.filters import DELAY_PAD, filter_partitions
 from ..ops.interp import interpolate
 
 
@@ -68,14 +68,9 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     """Direction → (P, 2, B+1) rfft spectra of the hop-partitioned
     effective filter (per-block HRTF update of BASELINE.json:11)."""
     B = config.stream_block
-    P = _n_parts(table, config)
     h, d, g = interpolate(table, az, el, config)
-    if config.filter_path in ("matmul", "hybrid"):
-        return filter_partitions_mm(h, d, g, table.h.shape[-1], B)
-    h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
-    parts = jnp.zeros((2, P * B), dtype=h_eff.dtype).at[:, : h_eff.shape[-1]].set(h_eff)
-    parts = parts.reshape(2, P, B)
-    return jnp.fft.rfft(parts, n=2 * B, axis=-1).transpose(1, 0, 2)  # (P, 2, F)
+    return filter_partitions(h, d, g, table.h.shape[-1], B,
+                             use_matmul=config.filter_path != "fft")
 
 
 def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
@@ -105,7 +100,10 @@ def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
                        started=jnp.ones((), dtype=jnp.float32)), y
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+# NOTE: no donate_argnums on the state — Stream.state is an advertised
+# checkpoint surface; donating would delete the buffers a caller saved
+# (measured: resume after push raised "Buffer has been deleted").
+@partial(jax.jit, static_argnames=("config",))
 def _step_fn(table, state, xb, az, el, config):
     return _step_core(table, state, xb, az, el, config)
 
@@ -123,7 +121,7 @@ def _scan_fn(table, state, xbs, dirs, config):
     return state, jnp.moveaxis(ys, 0, 1).reshape(2, -1)
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config",))
 def _batch_step_fn(table, state, xbs, azs, els, config):
     """vmapped stream step: S independent streams advance one block."""
     return jax.vmap(

@@ -51,6 +51,24 @@ def _clip_delay(d: jax.Array) -> jax.Array:
 
 
 @lru_cache(maxsize=8)
+def _assembly_basis(taps: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared pieces of every precomposed assembly map: M1 (taps → [Re G,
+    Im G] rfft_L planes) and the time-domain images of the 2·F_L re/im
+    basis vectors after irfft_L + truncate-to-T_pad (each downstream map
+    composes its own final stage on top of these)."""
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+    G = np.fft.rfft(np.eye(taps), n=L, axis=-1)  # (taps, FL)
+    M1 = np.concatenate([G.real, G.imag], axis=-1)
+    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
+    basis[:FL] = np.eye(FL)
+    basis[FL:] = 1j * np.eye(FL)
+    ht = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]  # (2FL, T_pad)
+    return M1.astype(np.float64), ht
+
+
+@lru_cache(maxsize=8)
 def _zoom_matrices(taps: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """Precompose the filter-assembly chain into two real matrices (MXU).
 
@@ -71,22 +89,10 @@ def _zoom_matrices(taps: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     numerical difference from the FFT path is f32 matmul accumulation
     (~1e-6 relative). Cached per (taps, n_fft); ~2 MB for n_fft=2048.
     """
-    T_pad = taps + DELAY_PAD
-    L = next_pow2(T_pad)
-    FL, Fn = L // 2 + 1, n_fft // 2 + 1
-
-    eye = np.eye(taps)
-    G = np.fft.rfft(eye, n=L, axis=-1)  # (taps, FL) complex
-    M1 = np.concatenate([G.real, G.imag], axis=-1)  # (taps, 2FL)
-
-    M2 = np.zeros((2 * FL, 2 * Fn))
-    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
-    basis[:FL] = np.eye(FL)
-    basis[FL:] = 1j * np.eye(FL)
-    ht = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]
+    Fn = n_fft // 2 + 1
+    M1, ht = _assembly_basis(taps)
     H = np.fft.rfft(ht, n=n_fft, axis=-1)  # (2FL, Fn)
-    M2[:, :Fn] = H.real
-    M2[:, Fn:] = H.imag
+    M2 = np.concatenate([H.real, H.imag], axis=-1)  # (2FL, 2Fn)
     return M1.astype(np.float32), M2.astype(np.float32)
 
 
@@ -129,19 +135,8 @@ def _hybrid_matrices(taps: int) -> tuple[np.ndarray, np.ndarray]:
     as matmuls and leaves the final rfft_nfft to XLA. The full-zoom M2 of
     `_zoom_matrices` also wastes rank: it factors through the T_pad-sample
     time domain (rank ≤ T_pad), which is exactly what MB exposes."""
-    T_pad = taps + DELAY_PAD
-    L = next_pow2(T_pad)
-    FL = L // 2 + 1
-
-    eye = np.eye(taps)
-    G = np.fft.rfft(eye, n=L, axis=-1)
-    M1 = np.concatenate([G.real, G.imag], axis=-1)
-
-    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
-    basis[:FL] = np.eye(FL)
-    basis[FL:] = 1j * np.eye(FL)
-    MB = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]  # (2FL, T_pad)
-    return M1.astype(np.float32), MB.astype(np.float32)
+    M1, ht = _assembly_basis(taps)
+    return M1.astype(np.float32), ht.astype(np.float32)
 
 
 def filter_spectrum_hybrid(h: jax.Array, d: jax.Array, g: jax.Array,
@@ -182,14 +177,7 @@ def _partition_zoom_matrices(taps: int, block: int) -> tuple[np.ndarray, np.ndar
     P = -(-T_pad // block)
     F2 = block + 1
 
-    eye = np.eye(taps)
-    G = np.fft.rfft(eye, n=L, axis=-1)
-    M1 = np.concatenate([G.real, G.imag], axis=-1)
-
-    basis = np.zeros((2 * FL, FL), dtype=np.complex128)
-    basis[:FL] = np.eye(FL)
-    basis[FL:] = 1j * np.eye(FL)
-    ht = np.fft.irfft(basis, n=L, axis=-1)[:, :T_pad]  # (2FL, T_pad)
+    M1, ht = _assembly_basis(taps)
     parts = np.zeros((2 * FL, P, block))
     for p in range(P):
         seg = ht[:, p * block : (p + 1) * block]
@@ -226,6 +214,22 @@ def filter_partitions_mm(h: jax.Array, d: jax.Array, g: jax.Array,
                     precision=jax.lax.Precision.HIGHEST)  # (2, P·2F2)
     Hm = Hm.reshape(2, P, 2 * F2)
     return jax.lax.complex(Hm[..., :F2], Hm[..., F2:]).transpose(1, 0, 2)
+
+
+def filter_partitions(h: jax.Array, d: jax.Array, g: jax.Array,
+                      taps: int, block: int, use_matmul: bool) -> jax.Array:
+    """Streaming/partitioned-conv filter spectra with the path selected by
+    ``use_matmul`` (config.filter_path != "fft") — one definition shared by
+    Stream and the batched partitioned renderer so the two stay
+    bit-identical under any config. → (P, 2, block+1) complex64."""
+    if use_matmul:
+        return filter_partitions_mm(h, d, g, taps, block)
+    T_pad = taps + DELAY_PAD
+    P = -(-T_pad // block)
+    h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
+    parts = jnp.zeros((2, P * block), dtype=h_eff.dtype)
+    parts = parts.at[:, : h_eff.shape[-1]].set(h_eff).reshape(2, P, block)
+    return jnp.fft.rfft(parts, n=2 * block, axis=-1).transpose(1, 0, 2)
 
 
 def effective_filter(h: jax.Array, d: jax.Array, g: jax.Array,

@@ -31,9 +31,14 @@ def direction_weights(elevs: jax.Array, az_counts: jax.Array, az: jax.Array,
     el = jnp.clip(el, elevs[0], elevs[-1])
     az = jnp.mod(az, 360.0)
 
-    e1 = jnp.clip(jnp.searchsorted(elevs, el, side="right"), 1, elevs.shape[0] - 1)
-    e0 = e1 - 1
-    we = (el - elevs[e0]) / (elevs[e1] - elevs[e0])
+    if elevs.shape[0] == 1:  # single-ring grid: no elevation interpolation
+        e0 = e1 = jnp.zeros((), dtype=jnp.int32)
+        we = jnp.zeros((), dtype=elevs.dtype)
+    else:
+        e1 = jnp.clip(jnp.searchsorted(elevs, el, side="right"), 1,
+                      elevs.shape[0] - 1)
+        e0 = e1 - 1
+        we = (el - elevs[e0]) / (elevs[e1] - elevs[e0])
 
     def ring_floor(e):
         c = az_counts[e].astype(jnp.float32)

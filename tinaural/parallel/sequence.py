@@ -86,7 +86,16 @@ def render_long_sharded(table: HrirTable, x, dirs, mesh: Mesh,
     N = x.shape[-1]
     nb = -(-N // B)
     n_shards = mesh.shape["blk"]
-    nb_pad = -(-nb // n_shards) * n_shards
+    # The single-hop ppermute halo requires each shard's span to cover the
+    # OLA tail (n_fft − B samples); pad the block count up so short
+    # signals / long filters / many shards stay valid (padded blocks are
+    # silent and reuse the last direction → render nothing).
+    from ..ops.filters import DELAY_PAD, next_pow2
+
+    t_eff = np.asarray(table.h).shape[-1] + DELAY_PAD
+    n_fft = next_pow2(B + t_eff - 1)
+    min_per_shard = max(1, -(-(n_fft - B) // B))
+    nb_pad = max(-(-nb // n_shards), min_per_shard) * n_shards
 
     xbs = np.zeros((nb_pad, B), dtype=np.float32)
     xbs.reshape(-1)[:N] = x

@@ -65,10 +65,14 @@ def grid_weights(elevs: np.ndarray, az_counts: np.ndarray, az: float, el: float,
     el = float(np.clip(el, elevs[0], elevs[-1]))
     az = float(az) % 360.0
 
-    e1 = int(np.searchsorted(elevs, el, side="right"))
-    e1 = min(max(e1, 1), len(elevs) - 1)
-    e0 = e1 - 1
-    we = (el - elevs[e0]) / (elevs[e1] - elevs[e0])
+    if len(elevs) == 1:  # single-ring grid (e.g. horizontal-plane-only set)
+        e0 = e1 = 0
+        we = 0.0
+    else:
+        e1 = int(np.searchsorted(elevs, el, side="right"))
+        e1 = min(max(e1, 1), len(elevs) - 1)
+        e0 = e1 - 1
+        we = (el - elevs[e0]) / (elevs[e1] - elevs[e0])
 
     def ring(e, want_nearest):
         c = int(az_counts[e])
