@@ -128,3 +128,37 @@ def test_stream_crossfade_suppresses_zipper(table, rng):
     y_x = run(True)
     y_h = run(False)
     assert jump_metric(y_x) < jump_metric(y_h)
+
+
+def test_linearity_all_modes(table, rng):
+    """Every render mode is linear in the input signal (superposition) —
+    a structural invariant of convolution renderers."""
+    cfg = RenderConfig(block_size=256)
+    x1 = rng.standard_normal(700)
+    x2 = rng.standard_normal(700)
+    a, b = 0.7, -1.3
+    nb = -(-700 // 256)
+    dirs = np.stack([np.linspace(10, 200, nb), np.linspace(-30, 60, nb)], axis=1)
+
+    y1 = golden.render_trajectory(table, x1, dirs, cfg)
+    y2 = golden.render_trajectory(table, x2, dirs, cfg)
+    y12 = golden.render_trajectory(table, a * x1 + b * x2, dirs, cfg)
+    assert snr_db(y12, a * y1 + b * y2) > 200
+
+    ys1 = golden.render_static(table, x1, 33.0, 12.0, cfg)
+    ys2 = golden.render_static(table, x2, 33.0, 12.0, cfg)
+    ys12 = golden.render_static(table, a * x1 + b * x2, 33.0, 12.0, cfg)
+    assert snr_db(ys12, a * ys1 + b * ys2) > 200
+
+
+def test_static_time_invariance(table, rng):
+    """The static direct render is LTI: delaying the input by D samples
+    delays the output by D."""
+    cfg = RenderConfig()
+    D = 37
+    x = rng.standard_normal(500)
+    xs = np.concatenate([np.zeros(D), x])
+    y = golden.render_static(table, x, 120.0, -10.0, cfg)
+    ys = golden.render_static(table, xs, 120.0, -10.0, cfg)
+    n = y.shape[1]
+    assert snr_db(y, ys[:, D : D + n]) > 150
