@@ -167,13 +167,14 @@ def test_sofa_loader(tmp_path):
     import h5py
 
     h, g = synthesize_hrirs(taps=64, noise=0.0)
-    # build M×2×T from two rings
+    # build M×2×T from two rings; SOFA files store COUNTERCLOCKWISE
+    # azimuths (90° = left), so the fixture writes the mirrored angle
     rows, pos = [], []
     for e_deg in (0.0, 10.0):
         e_i = list(g.elevs).index(e_deg)
         for a_i, az in enumerate(g.ring_azimuths(e_i)):
             rows.append(h[e_i, a_i])
-            pos.append([az, e_deg, 1.4])
+            pos.append([(360.0 - az) % 360.0, e_deg, 1.4])
     ir = np.stack(rows)
     p = tmp_path / "fixture.sofa"
     with h5py.File(p, "w") as f:

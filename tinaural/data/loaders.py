@@ -189,7 +189,10 @@ def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
         sr = int(np.asarray(f["Data.SamplingRate"]).reshape(-1)[0])
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(f"{path}: Data.IR must be (M, 2, T)")
-    az = pos[:, 0] % 360.0
+    # SOFA's spherical convention is counterclockwise azimuth (90° = the
+    # listener's LEFT); this framework uses the KEMAR-style clockwise
+    # convention (90° = RIGHT). Convert on load.
+    az = (360.0 - pos[:, 0]) % 360.0
     el = pos[:, 1]
 
     elevs = np.unique(np.round(el, 3))
