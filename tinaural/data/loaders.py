@@ -31,6 +31,9 @@ from .grids import SphericalGrid, kemar_grid
 from .synthetic import synthesize_hrirs
 from .table import HrirTable, build_table
 from .wav import read_wav
+from ..utils.log import get_logger
+
+_log = get_logger("tinaural.data")
 
 KEMAR_SAMPLE_RATE = 44100
 
@@ -77,6 +80,9 @@ def load_hrir_set(source: str = "synthetic", *, decompose: bool | None = None,
         if target_sample_rate is not None and target_sample_rate != sr:
             h = resample_hrirs(h, sr, target_sample_rate)
             sr = target_sample_rate
+        _log.debug("loaded HRIR set %r: %d directions, %d taps @ %d Hz, "
+                   "decompose=%s", source, grid.n_directions, h.shape[-1],
+                   sr, dec)
         return build_table(h, grid, sr, decompose=dec)
 
     if source == "synthetic":

@@ -1,6 +1,7 @@
 """Utilities: trajectory paths, profiling, logging."""
 
 from .paths import circular_sweep, waypoints_to_block_dirs
+from .log import configure as configure_logging, get_logger
 from .profiling import enable_debug_checks, fence, steady_state, timeit, trace
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "steady_state",
     "timeit",
     "trace",
+    "get_logger",
+    "configure_logging",
 ]
