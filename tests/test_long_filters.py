@@ -92,3 +92,21 @@ def test_partitioned_offline_default_table(table, rng):
     ref = np.concatenate(
         [gs.push(x[i * 256 : (i + 1) * 256], *dirs[i]) for i in range(nb)], axis=1)
     assert snr_db(ref, y) > 60
+
+
+def test_brir_length_partitioned_scan(rng):
+    """P>8 triggers the memory-bounded scan path; parity vs GoldenStream
+    with a 2048-tap BRIR-length filter (P = 17 partitions at B=128)."""
+    brir_table = load_hrir_set("synthetic", taps=2048)
+    cfg = RenderConfig(stream_block=128)
+    assert _n_parts(brir_table, cfg) == 17
+    r = BinauralRenderer(brir_table, cfg)
+    nb = 20
+    x = rng.standard_normal(nb * 128)
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-40, 80, nb)], axis=1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gs = golden.GoldenStream(brir_table, cfg)
+    ref = np.concatenate(
+        [gs.push(x[i * 128 : (i + 1) * 128], *dirs[i]) for i in range(nb)], axis=1)
+    assert y.shape == ref.shape
+    assert snr_db(ref, y) > 60

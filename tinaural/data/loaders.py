@@ -98,9 +98,10 @@ def load_hrir_set(source: str = "synthetic", *, decompose: bool | None = None,
                 ".npz tables are preprocessed; re-export at the target rate")
         if decompose is not None and decompose != table.decomposed:
             raise ValueError(
-                f".npz table was saved with decomposed={table.decomposed}; "
-                f"re-export it (tinaural export{'' if decompose else ' --raw'}) "
-                f"instead of passing decompose={decompose}")
+                f".npz table was saved with decomposed={table.decomposed} and "
+                f"cannot be re-decomposed after the fact; re-export from the "
+                f"ORIGINAL source, e.g. `tinaural export --hrir <kemar-dir|"
+                f".sofa|synthetic>{'' if decompose else ' --raw'} out.npz`")
         return table
     if str(source).endswith(".sofa"):
         h, grid, sr = _load_sofa(source)

@@ -120,12 +120,7 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
 @partial(jax.jit, static_argnames=("config",))
 def _scene_static_fn(table, xbs, dirs, config):
     """Static-direction scene: xbs (S, nb, B); dirs (S, 2) → (2, out)."""
-    S = xbs.shape[0]
-    ch = min(S, config.scene_chunk)
-    if S % ch:
-        ch = 1
-    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
-    dc = dirs.reshape(S // ch, ch, 2)
+    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
 
     def chunk(args):
         xb, dr = args
@@ -158,16 +153,27 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     use_mm = config.filter_path != "fft"
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
-    Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(hh, dd, gg, taps, B,
-                                                       use_matmul=use_mm))(
-        h, d, g)  # (nb, P, 2, F)
-
     X = frame_spectra(xb)  # (nb, F)
-    Xs = shifted_stack(X, P)  # (P, nb, F)
-    Yn = partitioned_mac(Xs, Hb)
+
+    if P > 8:
+        # Long-BRIR regime: materialising all (nb, P, 2, F) partitions and
+        # the (P, nb, F) delay line is O(P·nb·F) — a 1 s BRIR over a 60 s
+        # signal would need ~11 GB. Scan over partitions instead, keeping
+        # memory O(nb·F): each step generates only partition p's spectra
+        # (one matmul against the p-th slice of the partition zoom matrix)
+        # and accumulates its block-shifted contribution.
+        Yn, Yp = _partitioned_scan(table, X, h, d, g, taps, B, P, config)
+    else:
+        Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(
+            hh, dd, gg, taps, B, use_matmul=use_mm))(h, d, g)  # (nb, P, 2, F)
+        Xs = shifted_stack(X, P)  # (P, nb, F)
+        Yn = partitioned_mac(Xs, Hb)
+        Yp = None
+        if config.crossfade:
+            Hprev = jnp.concatenate([Hb[:1], Hb[:-1]], axis=0)
+            Yp = partitioned_mac(Xs, Hprev)
+
     if config.crossfade:
-        Hp = jnp.concatenate([Hb[:1], Hb[:-1]], axis=0)
-        Yp = partitioned_mac(Xs, Hp)
         yn = overlap_save_tail(Yn, B)
         yp = overlap_save_tail(Yp, B)
         w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
@@ -175,6 +181,44 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     else:
         y = overlap_save_tail(Yn, B)
     return jnp.moveaxis(y, 1, 0).reshape(2, nb * B)
+
+
+def _partitioned_scan(table, X, h, d, g, taps: int, B: int, P: int,
+                      config: RenderConfig):
+    """Memory-bounded partitioned MAC: lax.scan over the P partitions.
+
+    → (Yn, Yp): (nb, 2, F) spectra under the current / previous block's
+    filters (Yp only meaningful when crossfading). Filter spectra for
+    partition p are generated on the fly from the ramped rfft_L planes
+    (`ramped_spectrum_planes`) and the p-th slice of the partition zoom
+    matrix — the full (nb, P, 2, F) tensor never exists.
+    """
+    from ..ops.filters import _partition_zoom_matrices, ramped_spectrum_planes
+
+    nb = X.shape[0]
+    F2 = B + 1
+    _, m2, P_chk = _partition_zoom_matrices(taps, B)
+    assert P_chk == P
+    M2 = jnp.asarray(m2).reshape(-1, P, 2 * F2)  # (2FL, P, 2F2)
+    G2 = ramped_spectrum_planes(h, d, g, taps)  # (nb, 2, 2FL)
+    Xpad = jnp.pad(X, ((P - 1, 0), (0, 0)))  # delay line source
+
+    def body(acc, p):
+        accn, accp = acc
+        M2p = jax.lax.dynamic_index_in_dim(M2, p, axis=1, keepdims=False)
+        Hm = jnp.matmul(G2, M2p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (nb, 2, 2F2)
+        Hp = jax.lax.complex(Hm[..., :F2], Hm[..., F2:])  # (nb, 2, F2)
+        Xs_p = jax.lax.dynamic_slice(Xpad, (P - 1 - p, 0), (nb, F2))
+        accn = accn + Xs_p[:, None, :] * Hp
+        if config.crossfade:
+            Hprev = jnp.concatenate([Hp[:1], Hp[:-1]], axis=0)
+            accp = accp + Xs_p[:, None, :] * Hprev
+        return (accn, accp), None
+
+    zero = jnp.zeros((nb, 2, F2), dtype=X.dtype)
+    (Yn, Yp), _ = jax.lax.scan(body, (zero, zero), jnp.arange(P))
+    return Yn, Yp
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -188,18 +232,14 @@ def _batch_fn(table, xbs, dirs, config):
     (S, nb, 2) → (S, 2, out). Serving-mode batching: many files/requests
     per device dispatch."""
     S = xbs.shape[0]
-    ch = min(S, config.scene_chunk)
-    if S % ch:
-        ch = 1
-    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
-    dc = dirs.reshape(S // ch, ch, *dirs.shape[1:])
+    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
 
     def chunk(args):
         xb, dr = args
         return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
 
-    y = jax.lax.map(chunk, (xc, dc))  # (S/ch, ch, 2, out)
-    return y.reshape(S, *y.shape[2:])
+    y = jax.lax.map(chunk, (xc, dc))  # (n_chunks, ch, 2, out)
+    return y.reshape(-1, *y.shape[2:])[:S]
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -211,12 +251,7 @@ def _scene_fn(table, xbs, dirs, config):
     keeps peak intermediates small while each chunk still batches
     thousands of FFTs. The source axis is the same axis
     `tinaural.parallel` shards across devices (BASELINE.json:10)."""
-    S = xbs.shape[0]
-    ch = min(S, config.scene_chunk)
-    if S % ch:
-        ch = 1
-    xc = xbs.reshape(S // ch, ch, *xbs.shape[1:])
-    dc = dirs.reshape(S // ch, ch, *dirs.shape[1:])
+    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
 
     def chunk(args):
         xb, dr = args
@@ -226,22 +261,27 @@ def _scene_fn(table, xbs, dirs, config):
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
 
 
-def _pad_sources(xbs, dirs, chunk: int):
-    """Pad the source axis with silent sources up to a multiple of the
-    scene chunk — without this, a non-divisible source count falls back
-    to chunk=1 and serializes the whole render (measured 40×). Padded
-    sources are silent, so scene mixdowns are exact; render_batch slices
-    the padding back off."""
+def _chunked_sources(xbs, dirs, chunk: int):
+    """Pad the source axis (traced, shapes static under jit) up to a
+    multiple of the scene chunk and reshape into (n_chunks, ch, ...).
+    Without padding, a non-divisible source count would fall back to
+    chunk=1 and serialize the whole render (measured 40×). Padded sources
+    are silent, so mixdowns are exact; `_batch_fn` slices them back off.
+    Living inside the jitted functions means every caller — including
+    `fit`'s training loss, which calls `_scene_fn` directly — gets
+    chunked execution."""
     S = xbs.shape[0]
-    ch = min(S, chunk) if S else chunk
+    ch = min(S, chunk) if S else 1
     pad = (-S) % max(ch, 1)
-    if pad == 0:
-        return xbs, dirs, S
-    xbs = jnp.concatenate(
-        [xbs, jnp.zeros((pad, *xbs.shape[1:]), xbs.dtype)], axis=0)
-    dirs = np.concatenate([dirs, np.tile(dirs[-1:], (pad,) + (1,) * (dirs.ndim - 1))],
-                          axis=0)
-    return xbs, dirs, S
+    if pad:
+        xbs = jnp.concatenate(
+            [xbs, jnp.zeros((pad, *xbs.shape[1:]), xbs.dtype)], axis=0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(dirs[-1:], (pad, *dirs.shape[1:]))], axis=0)
+    n = xbs.shape[0]
+    xc = xbs.reshape(n // ch, ch, *xbs.shape[1:])
+    dc = dirs.reshape(n // ch, ch, *dirs.shape[1:])
+    return xc, dc
 
 
 # ------------------------------------------------------------- host wrapper
@@ -294,6 +334,8 @@ class BinauralRenderer:
     def render(self, x, az: float, el: float) -> jax.Array:
         """Render a mono signal at a fixed direction → (2, out_len)."""
         x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 1:
+            raise ValueError(f"x must be a mono signal (N,), got {x.shape}")
         N = x.shape[-1]
         n = next_pow2(N + self.t_eff - 1)
         xp = np.zeros(n, dtype=np.float32)  # pow2 bucket: O(log N) compiles
@@ -307,6 +349,9 @@ class BinauralRenderer:
     def render_trajectory(self, x, dirs) -> jax.Array:
         """Moving-source render. dirs: (n_blocks, 2) per-block (az, el) →
         (2, out_len)."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 1:
+            raise ValueError(f"x must be a mono signal (N,), got {x.shape}")
         xb, N = self._blockify(x)
         nb = xb.shape[0]
         dirs = jnp.asarray(np.asarray(dirs, dtype=np.float32))
@@ -325,6 +370,8 @@ class BinauralRenderer:
         config.stream_block; dirs: (n_blocks, 2) → (2, N)."""
         B = self.config.stream_block
         x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 1:
+            raise ValueError(f"x must be a mono signal (N,), got {x.shape}")
         if x.shape[-1] % B != 0:
             raise ValueError(f"signal length must be a multiple of {B}")
         xb = jnp.asarray(x.reshape(-1, B))
@@ -340,6 +387,9 @@ class BinauralRenderer:
         ONE device call → (S, 2, out_len). Like `render_scene` without
         the mixdown — the offline-serving workhorse (amortises dispatch
         across requests). dirs: (S, 2) static or (S, n_blocks, 2)."""
+        xs = np.asarray(xs, dtype=np.float32)
+        if xs.ndim != 2:
+            raise ValueError(f"xs must be (S, N), got {xs.shape}")
         xbs, N = self._blockify(xs)
         S, nb = xbs.shape[0], xbs.shape[1]
         dirs = np.asarray(dirs, dtype=np.float32)
@@ -347,28 +397,28 @@ class BinauralRenderer:
             dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
         if dirs.shape != (S, nb, 2):
             raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
-        xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
-        y = _batch_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
-        return y[:S, :, : self._out_len(N)]
+        y = _batch_fn(self.table, xbs, jnp.asarray(dirs), self.config)
+        return y[:, :, : self._out_len(N)]
 
     # -- scene render (BASELINE.json:10)
 
     def render_scene(self, xs, dirs) -> jax.Array:
         """Multi-source scene → stereo mixdown. xs: (S, N); dirs: (S, 2)
         static or (S, n_blocks, 2) trajectories → (2, out_len)."""
+        xs = np.asarray(xs, dtype=np.float32)
+        if xs.ndim != 2:
+            raise ValueError(f"xs must be (S, N), got {xs.shape}")
         xbs, N = self._blockify(xs)
         S, nb = xbs.shape[0], xbs.shape[1]
         dirs = np.asarray(dirs, dtype=np.float32)
         if dirs.ndim == 2:
             if dirs.shape != (S, 2):
                 raise ValueError(f"dirs must be ({S}, 2), got {dirs.shape}")
-            xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
-            y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
+            y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs), self.config)
         else:
             if dirs.shape != (S, nb, 2):
                 raise ValueError(f"dirs must be ({S}, {nb}, 2), got {dirs.shape}")
-            xbs, dirs_p, _ = _pad_sources(xbs, dirs, self.config.scene_chunk)
-            y = _scene_fn(self.table, xbs, jnp.asarray(dirs_p), self.config)
+            y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
         return y[:, : self._out_len(N)]
 
 

@@ -188,6 +188,24 @@ def _partition_zoom_matrices(taps: int, block: int) -> tuple[np.ndarray, np.ndar
             M2.reshape(2 * FL, P * 2 * F2).astype(np.float32), P)
 
 
+def ramped_spectrum_planes(h: jax.Array, d: jax.Array, g: jax.Array,
+                           taps: int) -> jax.Array:
+    """The direction-dependent half of every assembly map: rfft_L planes
+    of the gathered shapes with the delay ramp + gain applied.
+    h: (..., 2, taps); d, g: (..., 2) → (..., 2, 2·F_L) [Re | Im]."""
+    L = next_pow2(taps + DELAY_PAD)
+    FL = L // 2 + 1
+    M1 = jnp.asarray(_assembly_basis(taps)[0].astype(np.float32))
+    G = jnp.matmul(h, M1, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    Gr, Gi = G[..., :FL], G[..., FL:]
+    ramp = delay_ramp(L, _clip_delay(d))
+    c, s = ramp.real, ramp.imag
+    gg = g[..., None]
+    return jnp.concatenate([(Gr * c - Gi * s) * gg, (Gr * s + Gi * c) * gg],
+                           axis=-1)
+
+
 def filter_partitions_mm(h: jax.Array, d: jax.Array, g: jax.Array,
                          taps: int, block: int) -> jax.Array:
     """Streaming partition spectra via the zoom matmuls.
@@ -196,20 +214,10 @@ def filter_partitions_mm(h: jax.Array, d: jax.Array, g: jax.Array,
     golden.partition_filter(effective_filter(...)), per-block cost two
     small MXU matmuls instead of three FFT stages.
     """
-    L = next_pow2(taps + DELAY_PAD)
-    FL = L // 2 + 1
     F2 = block + 1
     m1, m2, P = _partition_zoom_matrices(taps, block)
-    M1, M2 = jnp.asarray(m1), jnp.asarray(m2)
-
-    G = jnp.matmul(h, M1, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # (2, 2FL)
-    Gr, Gi = G[..., :FL], G[..., FL:]
-    ramp = delay_ramp(L, _clip_delay(d))
-    c, s = ramp.real, ramp.imag
-    gg = g[..., None]
-    G2 = jnp.concatenate([(Gr * c - Gi * s) * gg, (Gr * s + Gi * c) * gg],
-                         axis=-1)
+    M2 = jnp.asarray(m2)
+    G2 = ramped_spectrum_planes(h, d, g, taps)  # (2, 2FL)
     Hm = jnp.matmul(G2, M2, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # (2, P·2F2)
     Hm = Hm.reshape(2, P, 2 * F2)
