@@ -202,3 +202,43 @@ def test_loader_resamples_to_target_rate():
     itd_sec_44 = itd(t44) / 44100
     itd_sec_48 = itd(t48) / 48000
     assert abs(itd_sec_44 - itd_sec_48) < 2e-5  # < 1 sample @48k
+
+
+def test_malformed_sources_fail_cleanly(tmp_path):
+    """Loader fuzz: malformed inputs produce clear errors, not tracebacks
+    from deep inside h5py/numpy."""
+    import h5py
+
+    # SOFA with mono IRs
+    bad = tmp_path / "mono.sofa"
+    with h5py.File(bad, "w") as f:
+        f["Data.IR"] = np.zeros((4, 1, 32))
+        f["SourcePosition"] = np.zeros((4, 3))
+        f["Data.SamplingRate"] = np.array([44100.0])
+    with pytest.raises(ValueError, match="must be"):
+        load_hrir_set(str(bad))
+
+    # SOFA with a non-ring grid
+    scattered = tmp_path / "scattered.sofa"
+    with h5py.File(scattered, "w") as f:
+        f["Data.IR"] = np.zeros((3, 2, 32))
+        f["SourcePosition"] = np.array([[0.0, 0.0, 1], [10.0, 0.0, 1],
+                                        [200.0, 0.0, 1]])
+        f["Data.SamplingRate"] = np.array([44100.0])
+    with pytest.raises(ValueError, match="ring"):
+        load_hrir_set(str(scattered))
+
+    # KEMAR dir with an elevation not on the KEMAR grid
+    d = tmp_path / "elev33"
+    d.mkdir()
+    with pytest.raises(ValueError, match="not in the KEMAR grid"):
+        load_hrir_set(str(tmp_path))
+
+    # missing azimuth file (and mirror)
+    import shutil
+
+    shutil.rmtree(d)
+    d2 = tmp_path / "elev90"
+    d2.mkdir()  # ring needs 1 file; none present
+    with pytest.raises(FileNotFoundError, match="missing HRIR"):
+        load_hrir_set(str(tmp_path))

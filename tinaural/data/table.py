@@ -84,6 +84,9 @@ def estimate_delays(h: np.ndarray, f_lo: float = 300.0, f_hi: float = 6000.0,
     Weighted least-squares affine fit to the unwrapped rfft phase over
     [f_lo, f_hi] (weights = |H|²); the slope is the group delay. An affine
     fit (not through the origin) sidesteps DC sign/phase ambiguity.
+    (Phase-unwrapping TOA estimation for HRTFs: cf. PAPERS.md
+    arXiv:2405.06804; the gain × shape × delay factorisation follows the
+    sparse-HRIR decomposition idea of arXiv:1502.03162.)
 
     h: (..., T) → returns (...) float64 delays.
     """
