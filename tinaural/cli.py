@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu-golden", action="store_true",
                    help="render with the NumPy golden reference instead of JAX")
     p.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    p.add_argument("--filter-path", choices=["matmul", "hybrid", "fft"],
+                   default="matmul",
+                   help="filter-assembly implementation (same math; "
+                        "matmul = fastest on TPU)")
 
 
 def _config(args) -> RenderConfig:
@@ -44,6 +48,7 @@ def _config(args) -> RenderConfig:
         apply_ild=not args.no_ild,
         block_size=args.block,
         use_pallas=getattr(args, "pallas", False),
+        filter_path=getattr(args, "filter_path", "matmul"),
     )
 
 
