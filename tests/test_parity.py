@@ -183,3 +183,31 @@ def test_render_batch_matches_individual(table, rng):
         ys = np.asarray(r.render_trajectory(
             xs[s], np.tile(dirs[s], (nb, 1))))
         assert snr_db(ys, yb[s]) > 100
+
+
+def test_config_flag_matrix_trajectory_and_stream(table, rng):
+    """ITD/ILD flags + nearest interpolation hold parity in the block and
+    streaming modes too (the static-mode flag tests don't cover their
+    separate filter-assembly call sites)."""
+    x = rng.standard_normal(3 * 256)
+    nb = 3
+    dirs = np.stack([np.linspace(20, 100, nb), np.linspace(-10, 40, nb)], axis=1)
+    for cfg in (
+        RenderConfig(block_size=256, interp="nearest"),
+        RenderConfig(block_size=256, apply_itd=False, apply_ild=False),
+    ):
+        y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+        ref = golden.render_trajectory(table, x, dirs, cfg)
+        assert snr_db(ref, y) > GATE_DB, cfg
+
+    for cfg in (
+        RenderConfig(stream_block=256, interp="nearest"),
+        RenderConfig(stream_block=256, apply_itd=False, apply_ild=False),
+    ):
+        s = Stream(table, cfg)
+        gs = golden.GoldenStream(table, cfg)
+        for i in range(nb):
+            xb = x[i * 256 : (i + 1) * 256]
+            y = np.asarray(s.push(xb, *dirs[i]))
+            ref = gs.push(xb, *dirs[i])
+            assert snr_db(ref, y) > GATE_DB, (cfg, i)
