@@ -41,8 +41,8 @@ class RenderConfig:
       filter_path: how per-direction filter spectra are assembled — all
         three compute the same linear map (matrices are built from the
         NumPy oracle chain; see tinaural.ops.filters):
-        ``"matmul"`` (default, fastest measured: 20.8k vs 15.8k
-        audio-sec/s for hybrid): both fixed stages as full zoom matmuls;
+        ``"matmul"`` (default, fastest measured): the fixed stages as
+        rank-factorized zoom matmuls (see ops/filters.py);
         ``"hybrid"``: small MXU matmuls for the rfft_L/ramp/irfft+truncate
         stages + one batched XLA rfft of the result;
         ``"fft"``: the explicit rfft→ramp→irfft→truncate→rfft chain.
