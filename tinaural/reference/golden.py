@@ -23,7 +23,8 @@ Shared numerical conventions (the TPU paths reproduce these exactly):
     "effective filter" `gain · delay(aligned shape)`, materialised once
     at a canonical FFT size to a fixed length `taps + DELAY_PAD`. The
     fractional-delay ITD (`tinaural.data.table.delay_ramp`: exact
-    integer-shift ramp + band-limited sub-sample phase) and the ILD gain
+    integer-shift ramp × band-blended sub-sample term, continuous in the
+    delay) and the ILD gain
     are applied *inside this filter assembly* (BASELINE.json:8), not at
     each mode's own FFT size — a per-size phase ramp would make direct,
     block and streaming renders disagree at ~-50 dB through the
