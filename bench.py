@@ -153,27 +153,40 @@ def w_scene_moving() -> dict:
 
 
 def w_static() -> dict:
-    """1-source static render (direct full-length FFT convolution)."""
+    """1-source static render.
+
+    Long static renders route through the OLA block path (the public
+    `render` does this above 8 blocks — round-1's monolithic-FFT path
+    measured 3x slower and below target); the direct full-signal FFT
+    variant is reported alongside for the short-render regime.
+    """
     import jax
     import jax.numpy as jnp
     from tinaural.config import RenderConfig
     from tinaural.data import load_hrir_set
     from tinaural.models import BinauralRenderer
-    from tinaural.models.renderer import _static_fn, next_pow2
+    from tinaural.models.renderer import (_static_block_fn, _static_fn,
+                                          next_pow2)
 
     N = 1 << 20
     cfg = RenderConfig()
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(3)
+    x = rng.standard_normal(N).astype(np.float32)
+
+    nb = N // cfg.block_size
+    xb = jax.device_put(x.reshape(nb, cfg.block_size))
+    dir2 = jax.device_put(np.array([123.4, 5.6], np.float32))
+    per = _marginal(lambda: _static_block_fn(r.table, xb, dir2, cfg))
+
     n = next_pow2(N + r.t_eff - 1)
     xp = np.zeros(n, np.float32)
-    xp[:N] = rng.standard_normal(N).astype(np.float32)
-    x = jax.device_put(xp)
-    az = jnp.float32(123.4)
-    el = jnp.float32(5.6)
-    call = lambda: _static_fn(r.table, x, az, el, cfg, n)
-    per = _marginal(call)
-    return {"audio_sec_per_sec": (N / SR) / per}
+    xp[:N] = x
+    xd = jax.device_put(xp)
+    az, el = jnp.float32(123.4), jnp.float32(5.6)
+    per_direct = _marginal(lambda: _static_fn(r.table, xd, az, el, cfg, n))
+    return {"audio_sec_per_sec": (N / SR) / per,
+            "direct_fft_audio_sec_per_sec": (N / SR) / per_direct}
 
 
 def w_stream() -> dict:
@@ -299,7 +312,8 @@ def main() -> None:
     traj = get("traj", "audio_sec_per_sec")
     extras = {
         "1src_trajectory_pallas": get("traj_pallas", "audio_sec_per_sec"),
-        "1src_static_direct": get("static", "audio_sec_per_sec"),
+        "1src_static": get("static", "audio_sec_per_sec"),
+        "1src_static_direct_fft": get("static", "direct_fft_audio_sec_per_sec"),
         "64src_static_scene_aggregate": get("scene", "aggregate_audio_sec_per_sec"),
         "64src_moving_scene_aggregate": get("scene_moving",
                                             "aggregate_audio_sec_per_sec"),

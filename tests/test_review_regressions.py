@@ -118,3 +118,70 @@ def test_half_sample_itd_crossing_is_smooth(table):
         f1 = golden.direction_filter(table, (az + 0.01) % 360.0, 0.0, cfg)
         ref = float(np.sqrt(np.sum(f0**2)))
         assert np.sqrt(np.sum((f0 - f1) ** 2)) < 0.06 * ref  # was ~0.30
+
+
+def test_static_render_block_routing_parity(table, rng):
+    """Round-1 VERDICT missing #4: long static renders route through the
+    OLA block path. Parity vs the golden direct convolution must hold on
+    both sides of the routing threshold (and at a non-multiple-of-block
+    length on the block side)."""
+    cfg = RenderConfig(block_size=256)
+    r = BinauralRenderer(table, cfg)
+    thresh = r.STATIC_BLOCK_THRESHOLD_BLOCKS * cfg.block_size
+    for n in (thresh - 1, thresh, thresh + 100):
+        x = rng.standard_normal(n)
+        y = np.asarray(r.render(x, 123.4, 5.6))
+        ref = golden.render_static(table, x, 123.4, 5.6, cfg)
+        assert y.shape == ref.shape
+        assert snr_db(ref, y) > 60, n
+
+
+def test_bulk_delay_subtracted_not_clipped(rng):
+    """Round-1 advisor finding: datasets with a large bulk propagation
+    delay (full-length KEMAR, 1.4 m SOFA rigs) must not have their ITDs
+    silently clipped away by the render path's shift range. The table
+    builder removes the per-table bulk; interaural differences survive."""
+    from tinaural.data import build_table
+    from tinaural.data.synthetic import synthesize_hrirs
+
+    h, grid = synthesize_hrirs(taps=128)
+    # emulate ~120 samples (~2.7 ms ≈ 0.93 m) of propagation delay
+    E, A = h.shape[:2]
+    h_far = np.concatenate(
+        [np.zeros((E, A, 2, 120)), h, np.zeros((E, A, 2, 8))], axis=-1)
+    t = build_table(h_far, grid, 44100, decompose=True)
+    t_near = build_table(h, grid, 44100, decompose=True)
+
+    d = np.asarray(t.delays)
+    valid = np.asarray(t.valid) > 0
+    # renderable: every valid delay within the clip range after bulk removal
+    from tinaural.data.table import ALIGN_GUARD
+    assert np.max(d[valid]) - ALIGN_GUARD <= 48.0 + 1e-6
+    # interaural differences preserved vs the near-field table
+    itd_far = d[..., 0] - d[..., 1]
+    dn = np.asarray(t_near.delays)
+    itd_near = dn[..., 0] - dn[..., 1]
+    np.testing.assert_allclose(itd_far[valid], itd_near[valid], atol=0.2)
+    # end-to-end: the rendered ITD at az=90 still leads right by >15 samples
+    from tinaural.data import estimate_delays
+    x = np.zeros(32)
+    x[0] = 1.0
+    y = golden.render_static(t, x, 90.0, 0.0, RenderConfig())
+    toa = estimate_delays(y)
+    assert toa[0] - toa[1] > 15
+
+
+def test_partitioned_scan_honors_fft_filter_path(rng):
+    """Round-1 advisor finding: the P>8 long-BRIR scan ignored
+    filter_path='fft'. It must now take the fft route there and stay
+    bit-compatible with Stream (which shares filter_partitions)."""
+    long_table = load_hrir_set("synthetic", taps=2048)  # P = (2048+64)/256 = 9
+    cfg = RenderConfig(stream_block=256, filter_path="fft")
+    r = BinauralRenderer(long_table, cfg)
+    nb = 4
+    x = rng.standard_normal(nb * 256)
+    dirs = np.stack([np.linspace(0, 90, nb), np.zeros(nb)], axis=1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    s = Stream(long_table, cfg)
+    ref = np.asarray(s.render_offline(x, dirs))
+    assert snr_db(ref, y) > 100

@@ -88,6 +88,14 @@ def estimate_delays(h: np.ndarray, f_lo: float = 300.0, f_hi: float = 6000.0,
     arXiv:2405.06804; the gain × shape × delay factorisation follows the
     sparse-HRIR decomposition idea of arXiv:1502.03162.)
 
+    The raw phase slope aliases through ``np.unwrap`` once the delay
+    exceeds T/2 samples (> π phase step per bin) — the regime of real
+    measured sets carrying bulk propagation delay (full-length KEMAR,
+    ~1.4 m SOFA rigs). The fit therefore anchors on the envelope-peak
+    index first and fits the compensated residual phase, whose slope is
+    a few samples at most; for small-delay data the result is
+    algebraically identical.
+
     h: (..., T) → returns (...) float64 delays.
     """
     T = h.shape[-1]
@@ -96,18 +104,20 @@ def estimate_delays(h: np.ndarray, f_lo: float = 300.0, f_hi: float = 6000.0,
     freqs = k * (sample_rate / T)
     band = (freqs >= f_lo) & (freqs <= f_hi)
 
-    phase = np.unwrap(np.angle(H), axis=-1)[..., band]
+    d0 = np.argmax(np.abs(h), axis=-1).astype(np.float64)  # coarse anchor
+    comp = np.exp(2j * np.pi * k * d0[..., None] / T)
+    phase = np.unwrap(np.angle(H * comp), axis=-1)[..., band]
     w = (np.abs(H) ** 2)[..., band] + 1e-20
     kk = k[band].astype(np.float64)
 
-    # Weighted affine LS: phase ≈ a + b·k  ⇒  delay = -b·T/(2π).
+    # Weighted affine LS: phase ≈ a + b·k  ⇒  delay = d0 - b·T/(2π).
     sw = w.sum(-1)
     mk = (w * kk).sum(-1) / sw
     mp = (w * phase).sum(-1) / sw
     cov = (w * (kk - mk[..., None]) * (phase - mp[..., None])).sum(-1)
     var = (w * (kk - mk[..., None]) ** 2).sum(-1) + 1e-20
     b = cov / var
-    return -b * T / (2.0 * np.pi)
+    return d0 - b * T / (2.0 * np.pi)
 
 
 # Band blend for the *sub-sample* part of a delay, in units of f/fs: the
@@ -204,6 +214,12 @@ def fractional_shift(h: np.ndarray, shift_samples: np.ndarray) -> np.ndarray:
 ALIGN_GUARD = 8.0
 
 
+# Headroom the render path gives a (delay − ALIGN_GUARD) shift before
+# clipping: tinaural.ops.filters._clip_delay and golden.effective_filter
+# clip to DELAY_PAD − 16 = 48 samples. Must match golden.DELAY_PAD − 16.
+_MAX_RENDER_SHIFT = 48.0
+
+
 def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):
     """Split raw HRIRs into (aligned unit-energy shapes, delays, gains).
 
@@ -211,7 +227,21 @@ def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):
     delays/gains of shape (E, A, 2). Aligned shapes keep their onset at
     ~ALIGN_GUARD samples. Invalid cells get zero delay, unit gain, zero
     shape.
+
+    Real measured sets (full 512-tap MIT KEMAR, SOFA rigs at ~1.4 m)
+    carry a BULK propagation delay of 100+ samples that holds no spatial
+    information but would saturate the render path's shift clip
+    (silently collapsing every ITD to the clip value — round-1 advisor
+    finding). When any valid-cell delay exceeds the renderable range, the
+    per-table minimum valid delay is subtracted from the stored delay
+    track (the output simply leads by that constant); shapes are still
+    aligned by the TRUE delay, so alignment is unaffected. If the
+    *interaural spread* alone still exceeds the range — physically
+    impossible for human-scale heads (~40 samples max at 44.1 kHz) — a
+    warning is logged because ITDs will clip.
     """
+    from ..utils.log import get_logger
+
     delays = estimate_delays(h, sample_rate=sample_rate)  # (E, A, 2)
     delays = delays * valid[..., None]
     aligned = fractional_shift(h, -(delays - ALIGN_GUARD))
@@ -219,6 +249,22 @@ def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):
     gains_safe = np.where(gains > 1e-12, gains, 1.0)
     aligned = aligned / gains_safe[..., None]
     gains = np.where(valid[..., None] > 0, gains_safe, 1.0)
+
+    vmask = valid[..., None] > 0
+    if np.any(vmask):
+        vdel = delays[np.broadcast_to(vmask, delays.shape)]
+        if vdel.max() - ALIGN_GUARD > _MAX_RENDER_SHIFT:
+            bulk = float(vdel.min())
+            get_logger().info(
+                "decompose_table: removing %.2f samples of bulk delay "
+                "(max TOA %.2f exceeds the renderable shift range)",
+                bulk, float(vdel.max()))
+            delays = (delays - bulk) * valid[..., None]
+            if vdel.max() - bulk - ALIGN_GUARD > _MAX_RENDER_SHIFT:
+                get_logger().warning(
+                    "decompose_table: interaural delay spread %.2f samples "
+                    "exceeds the renderable range (%.0f); ITDs will clip",
+                    float(vdel.max() - bulk), _MAX_RENDER_SHIFT)
     return aligned, delays, gains
 
 
