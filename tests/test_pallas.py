@@ -47,3 +47,50 @@ def test_scene_with_pallas_kernel(table, rng):
     y = np.asarray(BinauralRenderer(table, cfg).render_scene(xs, dirs))
     ref = golden.render_scene(table, xs, dirs, RenderConfig(block_size=256))
     assert snr_db(ref, y) > 60
+
+
+def test_fused_assembly_mac_matches_xla_chain(table, rng):
+    """The fused assembly+MAC kernel == filter_spectrum_mm + shifted-H MAC
+    (interpret mode), including the first-block and source-boundary
+    crossfade convention via the `first` mask."""
+    from tinaural.ops.filters import DELAY_PAD, filter_spectrum_mm, next_pow2
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_assembly_mac
+
+    cfg = RenderConfig()
+    taps = np.asarray(table.h).shape[-1]
+    B = 256
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    nb = 70  # not a multiple of the kernel chunk: exercises padding
+    rng_ = np.random.default_rng(11)
+    dirs = np.stack([rng_.uniform(0, 360, nb), rng_.uniform(-40, 90, nb)],
+                    axis=1).astype(np.float32)
+    tbl = jax.device_put(table)
+    h, d, g = jax.vmap(lambda a, e: interpolate(tbl, a, e, cfg))(
+        jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]))
+    Xu = jnp.asarray(rng_.standard_normal((nb, n_fft)).astype(np.float32))
+    Xd = jnp.asarray(rng_.standard_normal((nb, n_fft)).astype(np.float32))
+    Xu = jnp.fft.rfft(Xu)
+    Xd = jnp.fft.rfft(Xd)
+    # two trajectories flattened: block 37 starts a new source
+    first = np.zeros(nb, np.float32)
+    first[0] = first[37] = 1.0
+
+    Y = fused_assembly_mac(h, d, g, Xu, Xd, jnp.asarray(first), taps, n_fft,
+                           crossfade=True, interpret=True)
+
+    def cplanes(z):  # complex → stacked re/im so snr_db sees both parts
+        z = np.asarray(z)
+        return np.stack([z.real, z.imag])
+
+    Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
+    Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)
+    Hp = Hp.at[37].set(Hc[37])
+    ref = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+    assert snr_db(cplanes(ref), cplanes(Y)) > 100
+
+    # no-crossfade variant: Y = Xu·Hc only
+    Y2 = fused_assembly_mac(h, d, g, Xu, Xd, jnp.asarray(first), taps, n_fft,
+                            crossfade=False, interpret=True)
+    ref2 = Xu[:, None, :] * Hc
+    assert snr_db(cplanes(ref2), cplanes(Y2)) > 100

@@ -6,6 +6,12 @@ Skipped by default (the CI suite runs on CPU); run on the real chip with
 
 (TINAURAL_TEST_PLATFORM must NOT be cpu for these to mean anything —
 they self-skip unless a TPU backend is active.)
+
+The gates encode the ACHIEVED margins, not just the external target
+(round-1 VERDICT weak #6: a regression from 2.2× to 1.01× of target used
+to pass). Thresholds sit ~25% under the measured medians to absorb the
+axon tunnel's documented run-to-run jitter without masking real
+regressions.
 """
 
 import json
@@ -13,6 +19,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 RUN = os.environ.get("TINAURAL_PERF") == "1"
@@ -21,22 +28,92 @@ pytestmark = pytest.mark.skipif(
     not RUN, reason="perf gates run only with TINAURAL_PERF=1 on TPU")
 
 
-@pytest.fixture(scope="module")
-def traj_result():
+def _run_group(name: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "bench.py", "--workload", "traj_group"],
+        [sys.executable, "bench.py", "--workload", name],
         capture_output=True, text=True, timeout=1700, cwd="/root/repo")
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             return json.loads(line)
         except json.JSONDecodeError:
             continue
-    raise RuntimeError(f"no JSON from bench: {out.stderr[-400:]}")
+    raise RuntimeError(f"no JSON from bench {name}: {out.stderr[-400:]}")
 
 
-def test_trajectory_beats_10000x(traj_result):
-    assert traj_result["traj"]["audio_sec_per_sec"] > 10_000
+@pytest.fixture(scope="module")
+def traj_result():
+    return _run_group("traj_group")
+
+
+@pytest.fixture(scope="module")
+def static_result():
+    return _run_group("static_group")
+
+
+def test_trajectory_beats_10000x_with_margin(traj_result):
+    """Headline ≥1.5× the 10,000× target (measured ≥2.1× across rounds)."""
+    assert traj_result["traj"]["audio_sec_per_sec"] > 15_000
+
+
+def test_static_block_path_beats_target(static_result):
+    """Config 1 (static render) ≥ the 10,000× target via the block path
+    (round-1: the monolithic-FFT path missed it at 6.6k)."""
+    assert static_result["static"]["audio_sec_per_sec"] > 10_000
 
 
 def test_parity_gate_on_chip(traj_result):
-    assert traj_result["snr"]["snr_db"] >= 60.0
+    """≥60 dB is the BASELINE gate; ≥100 dB is the achieved f32 margin."""
+    assert traj_result["snr"]["snr_db"] >= 100.0
+
+
+def test_pallas_kernel_parity_on_chip():
+    """Round-1 VERDICT weak #2: the COMPILED fused kernel (not just its
+    interpret-mode CI test) must agree with the jnp chain on real
+    hardware — Mosaic tiling/precision assumptions get a gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinaural import RenderConfig, load_hrir_set
+    from tinaural.ops.filters import (DELAY_PAD, filter_spectrum_mm,
+                                      next_pow2)
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_assembly_mac
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend")
+
+    cfg = RenderConfig()
+    table = load_hrir_set("synthetic")
+    tbl = jax.device_put(table)
+    taps = np.asarray(table.h).shape[-1]
+    B = 1024
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    nb = 128
+    rng = np.random.default_rng(11)
+    dirs = np.stack([rng.uniform(0, 360, nb), rng.uniform(-40, 90, nb)],
+                    axis=1).astype(np.float32)
+    h, d, g = jax.jit(jax.vmap(lambda a, e: interpolate(tbl, a, e, cfg)))(
+        jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]))
+    Xu = jnp.fft.rfft(jnp.asarray(
+        rng.standard_normal((nb, n_fft)).astype(np.float32)))
+    Xd = jnp.fft.rfft(jnp.asarray(
+        rng.standard_normal((nb, n_fft)).astype(np.float32)))
+    first = jnp.zeros(nb, jnp.float32).at[0].set(1.0)
+
+    Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
+                           crossfade=True)
+
+    @jax.jit
+    def ref_fn(h, d, g, Xu, Xd):
+        Hc = filter_spectrum_mm(h, d, g, taps, n_fft)
+        Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)
+        return Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+
+    ref = ref_fn(h, d, g, Xu, Xd)
+    rr = np.asarray(jnp.real(ref), np.float64)
+    ri = np.asarray(jnp.imag(ref), np.float64)
+    yr = np.asarray(jnp.real(Y), np.float64)
+    yi = np.asarray(jnp.imag(Y), np.float64)
+    snr = 10 * np.log10((rr**2 + ri**2).sum()
+                        / ((rr - yr)**2 + (ri - yi)**2).sum())
+    assert snr >= 100.0  # measured 122.8 dB on v5e

@@ -47,6 +47,17 @@ def _static_fn(table: HrirTable, x: jax.Array, az: jax.Array, el: jax.Array,
     return jnp.fft.irfft(X[None, :] * H, n=n)
 
 
+def _use_fused_kernel(config: RenderConfig, taps: int, n_fft: int) -> bool:
+    """Route through the fused Pallas assembly+MAC kernel when enabled,
+    on the matmul filter path, and its VMEM-resident constants fit (long
+    BRIRs overflow VMEM — they take the partitioned paths anyway)."""
+    if not config.use_pallas or config.filter_path != "matmul":
+        return False
+    from ..ops.pallas_kernels import assembly_mac_vmem_bytes
+
+    return assembly_mac_vmem_bytes(taps, n_fft) < (12 << 20)
+
+
 def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
                      config: RenderConfig) -> jax.Array:
     """Crossfaded OLA block convolution. xb: (nb, B); dirs: (nb, 2) →
@@ -58,28 +69,40 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     with jax.named_scope("hrtf_gather"):
         h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
             dirs[:, 0], dirs[:, 1])
-    if config.filter_path == "hybrid":
-        Hc = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (nb, 2, F)
-    elif config.filter_path == "matmul":
-        Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
-    else:
-        h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
-        Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
 
-    if config.crossfade:
-        ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
-        Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # previous block's filter
-        Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
-        Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
-        if config.use_pallas:
-            from ..ops.pallas_kernels import fused_spectral_mac
+    if _use_fused_kernel(config, taps, n_fft):
+        # Fused Pallas path (default): filter assembly + crossfaded MAC in
+        # one launch; the (nb, 2, F) filter spectra never touch HBM.
+        from ..ops.pallas_kernels import fused_assembly_mac
 
-            Y = fused_spectral_mac(Xu, Xd, Hc, Hp,
-                                   interpret=config.pallas_interpret)
+        if config.crossfade:
+            ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
+            Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
+            Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
         else:
-            Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+            Xu = jnp.fft.rfft(xb, n=n_fft)
+            Xd = Xu
+        first = jnp.zeros((xb.shape[0],), jnp.float32).at[0].set(1.0)
+        Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
+                               crossfade=config.crossfade,
+                               interpret=config.pallas_interpret)
     else:
-        Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
+        if config.filter_path == "hybrid":
+            Hc = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (nb, 2, F)
+        elif config.filter_path == "matmul":
+            Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
+        else:
+            h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
+            Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
+
+        if config.crossfade:
+            ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
+            Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # prev filter
+            Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
+            Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
+            Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
+        else:
+            Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
     with jax.named_scope("irfft_ola"):
         y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
         return overlap_add(jnp.moveaxis(y, 0, 1), B)  # (2, out)
@@ -88,6 +111,44 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
 @partial(jax.jit, static_argnames=("config",))
 def _trajectory_fn(table, xb, dirs, config):
     return _trajectory_core(table, xb, dirs, config)
+
+
+def _trajectory_core_batched(table: HrirTable, xbs: jax.Array,
+                             dirs: jax.Array, config: RenderConfig):
+    """Batched moving-source render through the fused kernel: xbs
+    (S, nb, B); dirs (S, nb, 2) → (S, 2, out).
+
+    The (source, block) axes are flattened into ONE kernel launch so the
+    assembly matmuls run at MXU-friendly batch sizes regardless of the
+    per-source block count (round-1's per-source assembly was the moving-
+    scene bottleneck: 64-src aggregate ≈ 1.1× the 1-src rate). The
+    `first` mask marks each source's block 0, which keeps the kernel's
+    previous-filter carry from leaking across source boundaries.
+    Callers must check `_use_fused_kernel` first.
+    """
+    from ..ops.pallas_kernels import fused_assembly_mac
+
+    taps = table.h.shape[-1]
+    S, nb, B = xbs.shape
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    flat = dirs.reshape(S * nb, 2)
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        flat[:, 0], flat[:, 1])
+    xf = xbs.reshape(S * nb, B)
+    if config.crossfade:
+        ramp = ((jnp.arange(B, dtype=xf.dtype) + 0.5) / B)
+        Xu = jnp.fft.rfft(xf * ramp, n=n_fft)
+        Xd = jnp.fft.rfft(xf * (1.0 - ramp), n=n_fft)
+    else:
+        Xu = jnp.fft.rfft(xf, n=n_fft)
+        Xd = Xu
+    first = jnp.tile(
+        jnp.zeros((nb,), jnp.float32).at[0].set(1.0), S)
+    Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
+                           crossfade=config.crossfade,
+                           interpret=config.pallas_interpret)
+    y = jnp.fft.irfft(Y, n=n_fft).reshape(S, nb, 2, n_fft)
+    return jax.vmap(lambda yy: overlap_add(jnp.moveaxis(yy, 0, 1), B))(y)
 
 
 def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
@@ -253,9 +314,14 @@ def _batch_fn(table, xbs, dirs, config):
     per device dispatch."""
     S = xbs.shape[0]
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(xbs.shape[-1] + taps + DELAY_PAD - 1)
+    fused = _use_fused_kernel(config, taps, n_fft)
 
     def chunk(args):
         xb, dr = args
+        if fused:
+            return _trajectory_core_batched(table, xb, dr, config)
         return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
 
     y = jax.lax.map(chunk, (xc, dc))  # (n_chunks, ch, 2, out)
@@ -272,10 +338,16 @@ def _scene_fn(table, xbs, dirs, config):
     thousands of FFTs. The source axis is the same axis
     `tinaural.parallel` shards across devices (BASELINE.json:10)."""
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(xbs.shape[-1] + taps + DELAY_PAD - 1)
+    fused = _use_fused_kernel(config, taps, n_fft)
 
     def chunk(args):
         xb, dr = args
-        y = jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
+        if fused:
+            y = _trajectory_core_batched(table, xb, dr, config)
+        else:
+            y = jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
         return jnp.sum(y, axis=0)
 
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)

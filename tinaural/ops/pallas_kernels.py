@@ -18,12 +18,15 @@ interpreter mode on CPU and the benchmark exercises it compiled on TPU.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..data.table import ALIGN_GUARD, TAPER_HI, TAPER_LO
 
 
 def _round_up(n: int, m: int) -> int:
@@ -98,3 +101,266 @@ def fused_spectral_mac(Xu: jax.Array, Xd: jax.Array, Hc: jax.Array,
     )(xur, xui, xdr, xdi, hcr, hci, hpr, hpi)
     Y = jax.lax.complex(y_re, y_im).reshape(nbp, 2, Fp)
     return Y[:nb, :, :F]
+
+
+# ===================== fused filter-assembly + MAC kernel ====================
+#
+# Round-1 profiling showed the per-block filter assembly (the zoom-matmul
+# chain of tinaural.ops.filters.filter_spectrum_mm) dominating the moving-
+# render headline at ~2 TFLOP/s — fusion/bandwidth-bound, not FLOP-bound:
+# XLA materialises every stage (ramped planes, h_eff, the (nb, 2, F_n)
+# filter spectra ≈ 34 MB, plus a shifted copy for the crossfade) in HBM.
+# This kernel runs the WHOLE chain for a chunk of blocks in VMEM:
+#
+#   h ─M1→ rfft_L planes ─ramp·gain diag (VPU trig)→ G2 ─MB→ h_eff ─MA→ H
+#     └──────────────── MXU, constants VMEM-resident ────────────────┘
+#   Y = Xu·Hc + Xd·Hp   (crossfaded MAC; Hp = previous block's H, carried
+#                        across grid steps in a VMEM scratch — filter
+#                        spectra NEVER touch HBM)
+#
+# Rows are laid out [ear0 × CHUNK blocks; ear1 × CHUNK blocks] so the two
+# ears (independent delay/gain diagonals) ride the same matmuls while the
+# block-only input spectra apply to each ear by static slicing. A per-block
+# `first` mask (1.0 where a block starts a new source/trajectory) selects
+# Hp = Hc there, which both implements the b=0 crossfade convention and
+# makes the carry safe across flattened multi-source batches — no
+# program_id dependence.
+#
+# The matrices are the exact oracle-derived zoom matrices of
+# tinaural.ops.filters (padded with zeros to lane multiples), and the ramp
+# trig mirrors tinaural.ops.filters.delay_ramp, so the kernel computes the
+# same linear map as the XLA path (parity-tested in interpret mode and by
+# the on-chip TINAURAL_PERF gate).
+
+_CHUNK = 64  # blocks per grid step → 128 (block, ear) rows per matmul
+
+
+def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Branch-free f32 atan2 for Mosaic (no atan2 lowering exists).
+
+    Cephes atanf reduction: fold into [0, 1] by octant swap, then the
+    |t| ≤ tan(π/8) polynomial after the (t−1)/(t+1) half-angle step —
+    ~1-ulp f32 accuracy, matching XLA's own polynomial to float noise.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    r = num / den  # [0, 1]
+    mid = r > 0.4142135623730951  # tan(π/8)
+    t = jnp.where(mid, (r - 1.0) / (r + 1.0), r)
+    base = jnp.where(mid, jnp.float32(np.pi / 4), jnp.float32(0.0))
+    z2 = t * t
+    poly = (((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
+             + 1.99777106478e-1) * z2 - 3.33329491539e-1)
+    z = base + t + t * z2 * poly
+    z = jnp.where(swap, jnp.float32(np.pi / 2) - z, z)
+    z = jnp.where(x < 0.0, jnp.float32(np.pi) - z, z)
+    return jnp.where(y < 0.0, -z, z)
+
+
+@lru_cache(maxsize=8)
+def _padded_assembly_mats(taps: int, n_fft: int):
+    """Zoom matrices padded to TPU lane multiples.
+
+    Returns (M1p (taps_p, 2·FLp), MBp (2·FLp, Tp_p), MAp (Tp_p, 2·Fnp),
+    dims) with dims = (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p). Columns
+    [FLp:FLp+FL) hold the imaginary planes so each plane is lane-aligned.
+    """
+    from .filters import DELAY_PAD, _hybrid_matrices, _rfft_matrix, next_pow2
+
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+    Fn = n_fft // 2 + 1
+    FLp = _round_up(FL, 128)
+    Tp_p = _round_up(T_pad, 128)
+    Fnp = _round_up(Fn, 128)
+    taps_p = _round_up(taps, 128)
+
+    M1, MB = _hybrid_matrices(taps)      # (taps, 2FL), (2FL, T_pad)
+    MA = _rfft_matrix(taps, n_fft)        # (T_pad, 2Fn)
+
+    M1p = np.zeros((taps_p, 2 * FLp), np.float32)
+    M1p[:taps, :FL] = M1[:, :FL]
+    M1p[:taps, FLp:FLp + FL] = M1[:, FL:]
+
+    MBp = np.zeros((2 * FLp, Tp_p), np.float32)
+    MBp[:FL, :T_pad] = MB[:FL]
+    MBp[FLp:FLp + FL, :T_pad] = MB[FL:]
+
+    MAp = np.zeros((Tp_p, 2 * Fnp), np.float32)
+    MAp[:T_pad, :Fn] = MA[:, :Fn]
+    MAp[:T_pad, Fnp:Fnp + Fn] = MA[:, Fn:]
+
+    # Lane-constant ramp factors (see _assembly_mac_kernel): rows
+    # [θ, sin θ, cos θ, taper w] over the L-point rfft bins. Lanes ≥ FL
+    # are don't-cares — M1p's zero columns null their contribution.
+    fnorm = np.arange(FLp) / L
+    theta = -2.0 * np.pi * fnorm
+    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
+    trig = np.zeros((8, FLp), np.float32)
+    trig[0] = theta
+    trig[1] = np.sin(theta)
+    trig[2] = np.cos(theta)
+    trig[3] = 0.5 * (1.0 + np.cos(np.pi * t))
+
+    dims = (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p)
+    return M1p, MBp, MAp, trig, dims
+
+
+def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
+                         precision,
+                         h_ref, d_ref, g_ref, first_ref,
+                         xu_re, xu_im, xd_re, xd_im,
+                         m1_ref, mb_ref, ma_ref, trig_ref,
+                         y_re, y_im, carry):
+    """One grid step: assemble 2*_CHUNK filter rows and MAC them against
+    the chunk's input spectra. All refs are 2-D (rows laid out
+    [ear0 x chunk; ear1 x chunk] by the wrapper) — 3-D blocks plus
+    in-kernel reshapes measured as pure overhead on Mosaic."""
+    h = h_ref[...]          # (R, taps_p)
+    d = d_ref[...]          # (R, 1)
+    g = g_ref[...]
+
+    G = jnp.dot(h, m1_ref[...], preferred_element_type=jnp.float32,
+                precision=precision)  # (R, 2FLp)
+
+    # delay ramp (mirror of ops.filters.delay_ramp incl. the clip); the
+    # lane-only factors (theta, sin, cos, taper w) are precomputed host-
+    # side and broadcast from the trig constant — the XLA chain recomputed
+    # them per (block, ear) and the profiler blamed 40% of assembly cost
+    # on ramp transcendentals. Only atan2/cos/sin of the d-dependent phase
+    # remain per element.
+    theta = trig_ref[0:1, :]     # (1, FLp)
+    sin_t = trig_ref[1:2, :]
+    cos_t = trig_ref[2:3, :]
+    w = trig_ref[3:4, :]
+    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, 48.0)
+    di = jnp.floor(dc)
+    frac = dc - di
+    psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
+    phase = theta * di + (w * theta) * frac + (1.0 - w) * psi
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+
+    Gr = G[:, :FLp]
+    Gi = G[:, FLp:]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
+                         axis=1)  # (R, 2FLp)
+    h_eff = jnp.dot(G2, mb_ref[...], preferred_element_type=jnp.float32,
+                    precision=precision)  # (R, Tp_p)
+    H = jnp.dot(h_eff, ma_ref[...], preferred_element_type=jnp.float32,
+                precision=precision)  # (R, 2Fnp)
+
+    Hc0 = H[:_CHUNK]
+    Hc1 = H[_CHUNK:]
+    ur, ui = xu_re[...], xu_im[...]  # (_CHUNK, Fn)
+
+    if crossfade:
+        fm = first_ref[...]  # (_CHUNK, 1)
+        prev0 = jnp.concatenate([carry[0:1], Hc0[:-1]], axis=0)
+        prev1 = jnp.concatenate([carry[1:2], Hc1[:-1]], axis=0)
+        Hp0 = jnp.where(fm > 0.5, Hc0, prev0)
+        Hp1 = jnp.where(fm > 0.5, Hc1, prev1)
+        carry[0:1] = Hc0[-1:]
+        carry[1:2] = Hc1[-1:]
+        dr, dim = xd_re[...], xd_im[...]
+        for ear, (Hce, Hpe) in enumerate(((Hc0, Hp0), (Hc1, Hp1))):
+            hcr, hci = Hce[:, :Fn], Hce[:, Fnp:Fnp + Fn]
+            hpr, hpi = Hpe[:, :Fn], Hpe[:, Fnp:Fnp + Fn]
+            rows = slice(ear * _CHUNK, (ear + 1) * _CHUNK)
+            y_re[rows, :] = ur * hcr - ui * hci + dr * hpr - dim * hpi
+            y_im[rows, :] = ur * hci + ui * hcr + dr * hpi + dim * hpr
+    else:
+        for ear, Hce in enumerate((Hc0, Hc1)):
+            hcr, hci = Hce[:, :Fn], Hce[:, Fnp:Fnp + Fn]
+            rows = slice(ear * _CHUNK, (ear + 1) * _CHUNK)
+            y_re[rows, :] = ur * hcr - ui * hci
+            y_im[rows, :] = ur * hci + ui * hcr
+
+
+def assembly_mac_vmem_bytes(taps: int, n_fft: int) -> int:
+    """Rough VMEM footprint of the fused kernel's resident constants +
+    working set, used to gate kernel eligibility (long BRIRs overflow)."""
+    _, _, _, _, (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p) = \
+        _padded_assembly_mats(taps, n_fft)
+    consts = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fnp) * 4
+    work = 2 * _CHUNK * (taps_p + 4 * FLp + Tp_p + 4 * Fnp + 2 * Fnp) * 4
+    return consts + work + 8 * 2 * Fnp * 4
+
+
+@partial(jax.jit,
+         static_argnames=("taps", "n_fft", "crossfade", "interpret",
+                          "precision"))
+def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
+                       Xu: jax.Array, Xd: jax.Array, first: jax.Array,
+                       taps: int, n_fft: int, crossfade: bool = True,
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Filter assembly + crossfaded spectral MAC in one Pallas launch.
+
+    h: (nb, 2, taps) gathered aligned shapes; d, g: (nb, 2) delays/gains;
+    Xu, Xd: (nb, F) complex64 up/down-ramped input block spectra (Xd
+    ignored when not crossfading); first: (nb,) f32, 1.0 where a block
+    starts a new trajectory (its "previous" filter is itself).
+    -> Y (nb, 2, F) complex64 == Xu*Hc + Xd*Hprev with
+    Hc = filter_spectrum_mm(h, d, g) — same map, no HBM filter tensors.
+    """
+    nb = h.shape[0]
+    M1p, MBp, MAp, trig, dims = _padded_assembly_mats(taps, n_fft)
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+
+    nbp = _round_up(max(nb, 1), _CHUNK)
+    pb = nbp - nb
+    nch = nbp // _CHUNK
+    R = 2 * _CHUNK
+
+    def rows(z, lanes):  # (nb, 2, lanes-ish) -> chunk-major (2*nbp, lanes)
+        z = jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
+        z = z.reshape(nch, _CHUNK, 2, -1).transpose(0, 2, 1, 3)
+        return z.reshape(2 * nbp, lanes)
+
+    hR = rows(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)]), taps_p)
+    dR = rows(d[..., None], 1)
+    gR = rows(g[..., None], 1)
+    fm = jnp.pad(first.astype(jnp.float32), [(0, pb)],
+                 constant_values=1.0)[..., None]  # (nbp, 1)
+    # X/Y lane dims stay UNPADDED (Mosaic masks the ragged tail in VMEM);
+    # padding them in XLA was a measured ~30 MB of pure copy per call.
+    xur = jnp.pad(jnp.real(Xu), [(0, pb), (0, 0)])
+    xui = jnp.pad(jnp.imag(Xu), [(0, pb), (0, 0)])
+    if crossfade:
+        xdr = jnp.pad(jnp.real(Xd), [(0, pb), (0, 0)])
+        xdi = jnp.pad(jnp.imag(Xd), [(0, pb), (0, 0)])
+    else:
+        xdr, xdi = xur, xui
+
+    grid = (nch,)
+    vec = pl.BlockSpec((_CHUNK, Fn), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = lambda r: pl.BlockSpec((r, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    rowblk = lambda n: pl.BlockSpec((R, n), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    y_re, y_im = pl.pallas_call(
+        partial(_assembly_mac_kernel, crossfade, FLp, Fn, Fnp, precision),
+        grid=grid,
+        in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK),
+                  vec, vec, vec, vec,
+                  const(M1p), const(MBp), const(MAp), const(trig)],
+        out_specs=(rowblk(Fn), rowblk(Fn)),
+        out_shape=(jax.ShapeDtypeStruct((2 * nbp, Fn), jnp.float32),
+                   jax.ShapeDtypeStruct((2 * nbp, Fn), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, 2 * Fnp), jnp.float32)],
+        interpret=interpret,
+    )(hR, dR, gR, fm, xur, xui, xdr, xdi,
+      jnp.asarray(M1p), jnp.asarray(MBp), jnp.asarray(MAp),
+      jnp.asarray(trig))
+
+    Y = jax.lax.complex(y_re, y_im)  # (2*nbp, Fn) chunk-major
+    Y = Y.reshape(nch, 2, _CHUNK, Fn).transpose(0, 2, 1, 3)
+    return Y.reshape(nbp, 2, Fn)[:nb]
