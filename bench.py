@@ -85,8 +85,11 @@ def _oneshot(call) -> float:
     return min(once() for _ in range(3))
 
 
-def w_trajectory(use_pallas: bool = False) -> dict:
-    """1-source moving render, 2^21 samples (~47.6 s audio), block 1024."""
+def w_trajectory(use_pallas: bool = True) -> dict:
+    """1-source moving render, 2^21 samples (~47.6 s audio), block 1024.
+
+    use_pallas=True is the DEFAULT config (fused assembly+MAC kernel);
+    False measures the pure-XLA fallback path for comparison."""
     import jax
     from tinaural.config import RenderConfig
     from tinaural.data import load_hrir_set
@@ -257,8 +260,8 @@ def w_snr() -> dict:
 # cross-workload contamination away from the dissimilar ones.
 GROUPS = {
     "traj_group": [
-        ("traj", lambda: w_trajectory(False)),
-        ("traj_pallas", lambda: w_trajectory(True)),
+        ("traj", lambda: w_trajectory(True)),
+        ("traj_xla", lambda: w_trajectory(False)),
         ("snr", w_snr),
     ],
     "scene_group": [
@@ -311,7 +314,7 @@ def main() -> None:
 
     traj = get("traj", "audio_sec_per_sec")
     extras = {
-        "1src_trajectory_pallas": get("traj_pallas", "audio_sec_per_sec"),
+        "1src_trajectory_xla_fallback": get("traj_xla", "audio_sec_per_sec"),
         "1src_static": get("static", "audio_sec_per_sec"),
         "1src_static_direct_fft": get("static", "direct_fft_audio_sec_per_sec"),
         "64src_static_scene_aggregate": get("scene", "aggregate_audio_sec_per_sec"),

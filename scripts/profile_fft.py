@@ -45,25 +45,33 @@ def marginal(call, k1=2, k2=12, reps=3):
 def main():
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((NB, B)).astype(np.float32))
-    zc = jax.device_put(
-        (rng.standard_normal((NB, NFFT)) +
-         1j * rng.standard_normal((NB, NFFT))).astype(np.complex64))
-    y2 = jax.device_put(
-        (rng.standard_normal((NB, 2, F)) +
-         1j * rng.standard_normal((NB, 2, F))).astype(np.complex64))
+    # the axon backend cannot materialise complex arrays eagerly: build
+    # them on-device inside jit from real planes
+    zr = jax.device_put(rng.standard_normal((NB, NFFT)).astype(np.float32))
+    zi = jax.device_put(rng.standard_normal((NB, NFFT)).astype(np.float32))
+    y2r = jax.device_put(rng.standard_normal((NB, 2, F)).astype(np.float32))
+    y2i = jax.device_put(rng.standard_normal((NB, 2, F)).astype(np.float32))
+    zc = jax.jit(jax.lax.complex)(zr, zi)
+    y2 = jax.jit(jax.lax.complex)(y2r, y2i)
+
+    from tinaural.ops.fftpack import irfft_pair, rfft_pair
 
     probes = {
-        "rfft (nb,2048)": jax.jit(lambda: jnp.fft.rfft(x, n=NFFT).real),
-        "fft_c (nb,2048)": jax.jit(lambda: jnp.fft.fft(zc).real),
-        "irfft (nb,2,1025)": jax.jit(lambda: jnp.fft.irfft(y2, n=NFFT)),
-        "ifft_c (nb,2048)": jax.jit(lambda: jnp.fft.ifft(zc).real),
-        "2x rfft (Xu+Xd)": jax.jit(
-            lambda: (jnp.fft.rfft(x * 0.5, n=NFFT).real
-                     + jnp.fft.rfft(x * 0.25, n=NFFT).real)),
+        "rfft (nb,2048)": (jax.jit(lambda x: jnp.fft.rfft(x, n=NFFT).real), (x,)),
+        "fft_c (nb,2048)": (jax.jit(lambda z: jnp.fft.fft(z).real), (zc,)),
+        "irfft (nb,2,1025)": (jax.jit(lambda y: jnp.fft.irfft(y, n=NFFT)), (y2,)),
+        "ifft_c (nb,2048)": (jax.jit(lambda z: jnp.fft.ifft(z).real), (zc,)),
+        "2x rfft (Xu+Xd)": (jax.jit(
+            lambda x: (jnp.fft.rfft(x * 0.5, n=NFFT).real
+                       + jnp.fft.rfft(x * 0.25, n=NFFT).real)), (x,)),
+        "rfft_pair packed": (jax.jit(
+            lambda x: rfft_pair(x * 0.5, x * 0.25, NFFT)[0].real), (x,)),
+        "irfft_pair packed": (jax.jit(
+            lambda y: irfft_pair(y[:, 0], y[:, 1], NFFT)[0]), (y2,)),
     }
     for rnd in range(2):
-        for name, fn in probes.items():
-            t = marginal(fn)
+        for name, (fn, args) in probes.items():
+            t = marginal(lambda: fn(*args))
             print(f"[round {rnd}] {name:18s} {t*1e3:8.3f} ms", flush=True)
 
 

@@ -1,0 +1,82 @@
+"""Interleaved headline A/B: the ONLY trustworthy comparison on this
+tunnel (cross-process and even cross-minute numbers swing far beyond the
+documented ±25%; within-process interleaved medians are stable).
+
+Times the full jitted trajectory render (2^21 samples, B=1024) under
+fft_pack × use_pallas variants, interleaved over several rounds.
+Run alone: python scripts/profile_headline.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+from tinaural import RenderConfig, load_hrir_set
+from tinaural.models import BinauralRenderer
+from tinaural.models.renderer import _trajectory_fn
+
+B = 1024
+N = 1 << 21
+NB = N // B
+SR = 44100
+
+
+def marginal(call, k1=2, k2=12):
+    def batch(k):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(k):
+            y = call()
+        float(np.asarray(y[0, -1]))
+        return time.perf_counter() - t0
+
+    t1, t2 = batch(k1), batch(k2)
+    return (t2 - t1) / (k2 - k1)
+
+
+def main():
+    table = load_hrir_set("synthetic")
+    rng = np.random.default_rng(0)
+    xb = jax.device_put(rng.standard_normal((NB, B)).astype(np.float32))
+    dirs = jax.device_put(
+        np.stack([np.linspace(0, 350, NB) % 360,
+                  40 * np.sin(np.linspace(0, 20, NB))], axis=1).astype(np.float32))
+
+    variants = {
+        "xla_nopack": RenderConfig(block_size=B, fft_pack="off"),
+        "xla_fwd": RenderConfig(block_size=B, fft_pack="fwd"),
+        "xla_both": RenderConfig(block_size=B, fft_pack="both"),
+        "pallas_fwd": RenderConfig(block_size=B, fft_pack="fwd",
+                                   use_pallas=True),
+        "pallas_both": RenderConfig(block_size=B, fft_pack="both",
+                                    use_pallas=True),
+    }
+    tbl = BinauralRenderer(table, next(iter(variants.values()))).table
+
+    calls = {}
+    for name, cfg in variants.items():
+        calls[name] = (lambda c=cfg: _trajectory_fn(tbl, xb, dirs, c))
+        calls[name]()  # compile
+        float(np.asarray(calls[name]()[0, -1]))
+        print(f"compiled {name}", flush=True)
+
+    results = {n: [] for n in calls}
+    for rnd in range(4):
+        for name, call in calls.items():
+            results[name].append(marginal(call))
+    for name, ts in results.items():
+        med = float(np.median(ts))
+        lo, hi = min(ts), max(ts)
+        print(f"{name:12s} {med*1e3:8.3f} ms  [{lo*1e3:7.3f},{hi*1e3:8.3f}]"
+              f"  {N/SR/med:8.0f} audio-sec/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Op-level unit tests (FFT packing, etc.)."""
+
+import numpy as np
+
+from conftest import snr_db
+
+
+
+
+def test_fft_pair_packing_exact(rng):
+    """Two-for-one packed transforms == the unpacked rfft/irfft pairs."""
+    import jax
+    import jax.numpy as jnp
+    from tinaural.ops.fftpack import irfft_pair, rfft_pair
+
+    n = 512
+    a = rng.standard_normal((5, 300)).astype(np.float32)
+    b = rng.standard_normal((5, 300)).astype(np.float32)
+    A, B = jax.jit(lambda a, b: rfft_pair(a, b, n))(a, b)
+    Ar = np.fft.rfft(a.astype(np.float64), n)
+    Br = np.fft.rfft(b.astype(np.float64), n)
+    for got, ref in ((A, Ar), (B, Br)):
+        got = np.asarray(got, np.complex128)
+        assert snr_db(np.stack([ref.real, ref.imag]),
+                      np.stack([got.real, got.imag])) > 120
+
+    ya, yb = jax.jit(lambda r, i, s, t: irfft_pair(
+        jax.lax.complex(r, i), jax.lax.complex(s, t), n))(
+        Ar.real.astype(np.float32), Ar.imag.astype(np.float32),
+        Br.real.astype(np.float32), Br.imag.astype(np.float32))
+    assert snr_db(np.fft.irfft(Ar, n), np.asarray(ya)) > 120
+    assert snr_db(np.fft.irfft(Br, n), np.asarray(yb)) > 120

@@ -50,9 +50,16 @@ class RenderConfig:
         renderer. Full vmap over 64+ sources materialises ~0.5 GB of
         block spectra (measured 40x slowdown); chunks keep peak
         intermediates small while still batching thousands of FFTs.
-      use_pallas: route the fused complex-multiply + phase-ramp + gain
-        stage through the Pallas TPU kernel instead of plain jnp ops.
-        The jnp path is a permanent fallback (SURVEY.md §7 M6).
+      use_pallas: route filter assembly + the crossfaded spectral MAC
+        through the fused Pallas TPU kernel instead of plain jnp ops
+        (default ON: measured 1.4-2x the XLA chain on v5e). Ignored on
+        CPU backends unless ``pallas_interpret`` — the jnp path is a
+        permanent fallback (SURVEY.md §7 M6).
+      fft_pack: two-for-one real-FFT packing (tinaural.ops.fftpack) in
+        the block renderers — ``"both"`` packs the up/down-ramped input
+        rffts AND the two ears' inverse, ``"fwd"`` only the forward
+        pair, ``"off"`` uses plain rfft/irfft. Value-identical to f32
+        rounding; a pure perf knob.
       pallas_interpret: run the Pallas kernel in interpreter mode (CPU
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear
@@ -68,8 +75,9 @@ class RenderConfig:
     crossfade: bool = True
     scene_chunk: int = 8
     filter_path: str = "matmul"
-    use_pallas: bool = False
+    use_pallas: bool = True
     pallas_interpret: bool = False
+    fft_pack: str = "both"
     out_length: str = "full"
 
     def __post_init__(self):
@@ -80,6 +88,9 @@ class RenderConfig:
         if self.filter_path not in ("hybrid", "matmul", "fft"):
             raise ValueError(
                 f"filter_path must be hybrid|matmul|fft, got {self.filter_path!r}")
+        if self.fft_pack not in ("off", "fwd", "both"):
+            raise ValueError(
+                f"fft_pack must be off|fwd|both, got {self.fft_pack!r}")
         for name in ("block_size", "stream_block"):
             v = getattr(self, name)
             if v <= 0 or (v & (v - 1)) != 0:

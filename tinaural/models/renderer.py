@@ -25,6 +25,7 @@ from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..ops.filters import (DELAY_PAD, effective_filter, filter_spectrum_hybrid,
                           filter_spectrum_mm, next_pow2)
+from ..ops.fftpack import rfft_pair
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
 
@@ -47,12 +48,38 @@ def _static_fn(table: HrirTable, x: jax.Array, az: jax.Array, el: jax.Array,
     return jnp.fft.irfft(X[None, :] * H, n=n)
 
 
+def _irfft_ears(Y: jax.Array, n_fft: int, config: RenderConfig) -> jax.Array:
+    """(nb, 2, F) spectra → (2, nb, n_fft) time blocks. With
+    config.fft_pack == "both", the two ears ride ONE packed complex ifft
+    (tinaural.ops.fftpack) — half the inverse-FFT cost of a batched
+    irfft, which profiling showed dominating the block renderers."""
+    if config.fft_pack == "both":
+        from ..ops.fftpack import irfft_pair
+
+        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], n_fft)
+        return jnp.stack([y0, y1], axis=0)
+    return jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), 0, 1)
+
+
+def _rfft_updown(xb: jax.Array, B: int, n_fft: int,
+                 config: RenderConfig):
+    """Up/down-ramped input block spectra (Xu, Xd) — packed into one
+    complex fft unless config.fft_pack == "off"."""
+    ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
+    if config.fft_pack != "off":
+        return rfft_pair(xb * ramp, xb * (1.0 - ramp), n_fft)
+    return (jnp.fft.rfft(xb * ramp, n=n_fft),
+            jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft))
+
+
 def _use_fused_kernel(config: RenderConfig, taps: int, n_fft: int) -> bool:
     """Route through the fused Pallas assembly+MAC kernel when enabled,
     on the matmul filter path, and its VMEM-resident constants fit (long
     BRIRs overflow VMEM — they take the partitioned paths anyway)."""
     if not config.use_pallas or config.filter_path != "matmul":
         return False
+    if jax.default_backend() == "cpu" and not config.pallas_interpret:
+        return False  # Mosaic kernels are TPU-only; CPU uses the jnp path
     from ..ops.pallas_kernels import assembly_mac_vmem_bytes
 
     return assembly_mac_vmem_bytes(taps, n_fft) < (12 << 20)
@@ -76,9 +103,7 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         from ..ops.pallas_kernels import fused_assembly_mac
 
         if config.crossfade:
-            ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
-            Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
-            Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
+            Xu, Xd = _rfft_updown(xb, B, n_fft, config)
         else:
             Xu = jnp.fft.rfft(xb, n=n_fft)
             Xd = Xu
@@ -96,16 +121,13 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
             Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
 
         if config.crossfade:
-            ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
             Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # prev filter
-            Xu = jnp.fft.rfft(xb * ramp, n=n_fft)  # (nb, F)
-            Xd = jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft)
+            Xu, Xd = _rfft_updown(xb, B, n_fft, config)
             Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
         else:
             Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
     with jax.named_scope("irfft_ola"):
-        y = jnp.fft.irfft(Y, n=n_fft)  # (nb, 2, n_fft)
-        return overlap_add(jnp.moveaxis(y, 0, 1), B)  # (2, out)
+        return overlap_add(_irfft_ears(Y, n_fft, config), B)  # (2, out)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -136,9 +158,7 @@ def _trajectory_core_batched(table: HrirTable, xbs: jax.Array,
         flat[:, 0], flat[:, 1])
     xf = xbs.reshape(S * nb, B)
     if config.crossfade:
-        ramp = ((jnp.arange(B, dtype=xf.dtype) + 0.5) / B)
-        Xu = jnp.fft.rfft(xf * ramp, n=n_fft)
-        Xd = jnp.fft.rfft(xf * (1.0 - ramp), n=n_fft)
+        Xu, Xd = _rfft_updown(xf, B, n_fft, config)
     else:
         Xu = jnp.fft.rfft(xf, n=n_fft)
         Xd = Xu
@@ -147,8 +167,9 @@ def _trajectory_core_batched(table: HrirTable, xbs: jax.Array,
     Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
                            crossfade=config.crossfade,
                            interpret=config.pallas_interpret)
-    y = jnp.fft.irfft(Y, n=n_fft).reshape(S, nb, 2, n_fft)
-    return jax.vmap(lambda yy: overlap_add(jnp.moveaxis(yy, 0, 1), B))(y)
+    y = _irfft_ears(Y, n_fft, config)  # (2, S·nb, n_fft)
+    y = jnp.moveaxis(y.reshape(2, S, nb, n_fft), 0, 1)  # (S, 2, nb, n_fft)
+    return jax.vmap(lambda yy: overlap_add(yy, B))(y)
 
 
 def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
@@ -174,8 +195,7 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
         h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
         H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
     X = jnp.fft.rfft(xb, n=n_fft)  # (nb, F)
-    y = jnp.fft.irfft(X[:, None, :] * H[None], n=n_fft)  # (nb, 2, n_fft)
-    return overlap_add(jnp.moveaxis(y, 0, 1), B)
+    return overlap_add(_irfft_ears(X[:, None, :] * H[None], n_fft, config), B)
 
 
 @partial(jax.jit, static_argnames=("config",))

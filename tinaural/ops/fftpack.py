@@ -1,0 +1,57 @@
+"""Two-for-one real-FFT packing (classic Cooley two-channel trick).
+
+XLA's TPU rfft/irfft lower to full complex FFTs plus fixups, so a batched
+pair of real transforms costs two complex FFTs. The render paths always
+need real transforms in PAIRS — the up/down-ramped input spectra of the
+crossfaded block convolution, and the two ears of the inverse — so each
+pair packs into ONE complex FFT:
+
+  forward:  z = a + j·b  (real a, b) →  Z = fft(z);
+            rfft(a)[k] = (Z[k] + conj(Z[−k]))/2,
+            rfft(b)[k] = (Z[k] − conj(Z[−k]))/(2j)
+  inverse:  Z[k] = A_full[k] + j·B_full[k] (Hermitian extensions of the
+            half-spectra A, B) → z = ifft(Z); irfft(A) = Re z,
+            irfft(B) = Im z.
+
+Profiled on the v5e: a complex fft costs about the same as one rfft of
+the same length, so packing halves the dominant FFT cost of the
+trajectory/scene renderers. Exact to f32 rounding (unit tests pin it at
+>120 dB against the unpacked transforms).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rfft_pair(a: jax.Array, b: jax.Array, n: int):
+    """rfft(a, n), rfft(b, n) via one complex fft.
+
+    a, b: (..., m) real with m ≤ n → two (..., n//2 + 1) complex64.
+    """
+    F = n // 2 + 1
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
+    z = jax.lax.complex(jnp.pad(a, pad), jnp.pad(b, pad))
+    Z = jnp.fft.fft(z, n=n, axis=-1)
+    # conj(Z[(−k) mod n]) for k = 0..F−1
+    Zc = jnp.conj(
+        jnp.concatenate([Z[..., :1], jnp.flip(Z[..., n - F + 1:], -1)], -1))
+    Zl = Z[..., :F]
+    A = 0.5 * (Zl + Zc)
+    B = -0.5j * (Zl - Zc)
+    return A, B
+
+
+def irfft_pair(A: jax.Array, B: jax.Array, n: int):
+    """irfft(A, n), irfft(B, n) via one complex ifft.
+
+    A, B: (..., n//2 + 1) complex half-spectra → two (..., n) real.
+    """
+    F = n // 2 + 1
+    Zl = A + 1j * B  # k = 0..F−1
+    # k = F..n−1: Hermitian tails conj(A[n−k]) + j·conj(B[n−k])
+    Zh = jnp.conj(jnp.flip(A[..., 1:F - 1], -1)) \
+        + 1j * jnp.conj(jnp.flip(B[..., 1:F - 1], -1))
+    z = jnp.fft.ifft(jnp.concatenate([Zl, Zh], -1), n=n, axis=-1)
+    return jnp.real(z), jnp.imag(z)
