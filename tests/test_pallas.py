@@ -94,3 +94,65 @@ def test_fused_assembly_mac_matches_xla_chain(table, rng):
                             crossfade=False, interpret=True)
     ref2 = Xu[:, None, :] * Hc
     assert snr_db(cplanes(ref2), cplanes(Y2)) > 100
+
+
+def test_fused_stream_step_matches_xla_step(table, rng):
+    """The single-launch streaming step == the XLA _step_core, including
+    the started-flag crossfade convention and the FDL shift, over several
+    chained pushes (interpret mode)."""
+    from tinaural.models.streaming import Stream, _step_core, init_state
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_stream_step
+
+    cfg = RenderConfig(stream_block=256)
+    taps = np.asarray(table.h).shape[-1]
+    B = cfg.stream_block
+    tbl = jax.device_put(table)
+
+    state = init_state(tbl, cfg)
+    st_f = jax.tree.map(lambda x: x[None], state)  # S=1 batch for the kernel
+    rng_ = np.random.default_rng(3)
+    for step in range(3):
+        xb = jnp.asarray(rng_.standard_normal(B).astype(np.float32))
+        az, el = 30.0 + 40 * step, 5.0 * step
+        state, y_ref = jax.jit(
+            lambda s, x: _step_core(tbl, s, x, jnp.float32(az),
+                                    jnp.float32(el), cfg))(state, xb)
+
+        h, d, g = interpolate(tbl, jnp.float32(az), jnp.float32(el), cfg)
+        y, fr, fi, pr, pi = fused_stream_step(
+            h[None], d[None], g[None], xb[None], st_f.prev_in,
+            st_f.fdl_re[:, :, : B + 1], st_f.fdl_im[:, :, : B + 1],
+            st_f.prev_h_re[:, :, :, : B + 1], st_f.prev_h_im[:, :, :, : B + 1],
+            st_f.started[None] if st_f.started.ndim == 0 else st_f.started,
+            taps, B, crossfade=True, interpret=True)
+        st_f = st_f._replace(prev_in=xb[None], fdl_re=fr, fdl_im=fi,
+                             prev_h_re=pr, prev_h_im=pi,
+                             started=jnp.ones((1,), jnp.float32))
+
+        assert snr_db(np.asarray(y_ref), np.asarray(y[0])) > 90, step
+        assert snr_db(np.asarray(state.fdl_re), np.asarray(fr[0])) > 90, step
+        assert snr_db(np.asarray(state.prev_h_re), np.asarray(pr[0])) > 80, step
+
+
+def test_stream_with_fused_step_matches_golden(table, rng):
+    """Stream and BatchedStream through the fused step kernel (interpret)
+    match GoldenStream push-for-push."""
+    from tinaural.models import BatchedStream, Stream
+
+    cfg = RenderConfig(stream_block=256, use_pallas=True,
+                       pallas_interpret=True)
+    gold = golden.GoldenStream(table, RenderConfig(stream_block=256))
+    s = Stream(table, cfg)
+    bs = BatchedStream(table, 3, cfg)
+    for i in range(4):
+        xb = rng.standard_normal(256).astype(np.float32)
+        az, el = 20.0 + 50 * i, 10.0 * i - 15
+        ref = gold.push(xb.astype(np.float64), az, el)
+        y = np.asarray(s.push(xb, az, el))
+        assert snr_db(ref, y) > 60, i
+        yb = np.asarray(bs.push(np.tile(xb, (3, 1)),
+                                np.full(3, az, np.float32),
+                                np.full(3, el, np.float32)))
+        for k in range(3):
+            assert snr_db(ref, yb[k]) > 60, (i, k)

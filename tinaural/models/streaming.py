@@ -73,8 +73,48 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
                              use_matmul=config.filter_path != "fft")
 
 
+def _use_fused_step(table: HrirTable, config: RenderConfig,
+                    n_streams: int) -> bool:
+    """Route through the single-launch Pallas streaming step when enabled
+    and its VMEM working set fits (long BRIRs / huge batches fall back)."""
+    if not config.use_pallas or config.filter_path != "matmul":
+        return False
+    if jax.default_backend() == "cpu" and not config.pallas_interpret:
+        return False
+    from ..ops.pallas_kernels import stream_step_vmem_bytes
+
+    return stream_step_vmem_bytes(
+        table.h.shape[-1], config.stream_block, n_streams) < (12 << 20)
+
+
+def _fused_batch_step(table: HrirTable, state: StreamState, xbs: jax.Array,
+                      azs, els, config: RenderConfig):
+    """Batched streaming step as ONE Pallas launch (state leaves carry a
+    leading S axis). Same math as `_step_core` (parity-tested); the XLA
+    step is ~15 dispatch-bound small ops at real-time block sizes."""
+    from ..ops.pallas_kernels import fused_stream_step
+
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(azs, els)
+    y, fr, fi, pr, pi = fused_stream_step(
+        h, d, g, xbs, state.prev_in, state.fdl_re, state.fdl_im,
+        state.prev_h_re, state.prev_h_im, state.started,
+        table.h.shape[-1], config.stream_block,
+        crossfade=config.crossfade, interpret=config.pallas_interpret)
+    S = xbs.shape[0]
+    new_state = StreamState(prev_in=xbs, fdl_re=fr, fdl_im=fi,
+                            prev_h_re=pr, prev_h_im=pi,
+                            started=jnp.ones((S,), jnp.float32))
+    return new_state, y
+
+
 def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
                az, el, config: RenderConfig):
+    if _use_fused_step(table, config, 1):
+        st1 = jax.tree.map(lambda x: x[None], state)
+        new_state, y = _fused_batch_step(
+            table, st1, xb[None], jnp.asarray(az)[None],
+            jnp.asarray(el)[None], config)
+        return jax.tree.map(lambda x: x[0], new_state), y[0]
     B = config.stream_block
     H = _filter_partitions(table, az, el, config)  # (P, 2, F)
     X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))  # (F,) of 2B frame
@@ -123,7 +163,10 @@ def _scan_fn(table, state, xbs, dirs, config):
 
 @partial(jax.jit, static_argnames=("config",))
 def _batch_step_fn(table, state, xbs, azs, els, config):
-    """vmapped stream step: S independent streams advance one block."""
+    """Batched stream step: S independent streams advance one block —
+    one fused Pallas launch when eligible, else a vmapped XLA step."""
+    if _use_fused_step(table, config, xbs.shape[0]):
+        return _fused_batch_step(table, state, xbs, azs, els, config)
     return jax.vmap(
         lambda st, xb, az, el: _step_core(table, st, xb, az, el, config)
     )(state, xbs, azs, els)

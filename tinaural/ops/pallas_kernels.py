@@ -364,3 +364,248 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
     Y = jax.lax.complex(y_re, y_im)  # (2*nbp, Fn) chunk-major
     Y = Y.reshape(nch, 2, _CHUNK, Fn).transpose(0, 2, 1, 3)
     return Y.reshape(nbp, 2, Fn)[:nb]
+
+# ======================== fused streaming-step kernel ========================
+#
+# One Pallas launch per Stream.push / BatchedStream.push (ROADMAP #4): the
+# XLA step is ~15 small ops (rfft, FDL shift, partition assembly, einsum
+# MAC, irfft, crossfade) over tiny tensors — dispatch/fusion-bound rather
+# than compute-bound at real-time block sizes. Here the whole step runs in
+# VMEM as matmuls + elementwise:
+#
+#   frame ─DFTr→ X ─shift→ FDL                        (rfft as MXU matmul)
+#   h ─M1→ planes ─ramp·gain→ G2 ─M2p→ H partitions   (assembly, exactly as
+#                                                      in the block kernel)
+#   Yn/Yp = Σ_p FDL[p]·H[p] / ·Hprev[p]               (VPU, crossfade pair)
+#   [Yn; Yp] ─DI→ last-B samples ─blend→ out          (irfft tail as MXU
+#                                                      matmul: only the B
+#                                                      output samples are
+#                                                      ever computed)
+#
+# Rows are streams (ears stacked [e0; e1] for the assembly/H rows), so
+# BatchedStream's S streams ride one launch with no vmap. The DFT/iDFT
+# matrices are generated by pushing basis vectors through the NumPy
+# transforms — the same exactness story as the zoom matrices.
+
+
+@lru_cache(maxsize=8)
+def _stream_step_mats(taps: int, block: int):
+    """Constants for the fused streaming step.
+
+    Returns (M1p, M2p, trig, DFTr, DI, dims), dims = (L, FL, FLp, F2,
+    F2p, P, taps_p). Plane layout [Re | Im] at lane-aligned offsets;
+    M2p groups partition p's planes in lanes [p·2F2p, (p+1)·2F2p).
+    """
+    from .filters import _partition_zoom_matrices, next_pow2
+
+    F2 = block + 1
+    F2p = _round_up(F2, 128)
+    taps_p = _round_up(taps, 128)
+
+    m1, m2, P = _partition_zoom_matrices(taps, block)  # (taps,2FL),(2FL,P·2F2)
+    FL = (m1.shape[1]) // 2
+    L = (FL - 1) * 2
+    FLp = _round_up(FL, 128)
+
+    M1p = np.zeros((taps_p, 2 * FLp), np.float32)
+    M1p[:taps, :FL] = m1[:, :FL]
+    M1p[:taps, FLp:FLp + FL] = m1[:, FL:]
+
+    m2 = m2.reshape(2 * FL, P, 2 * F2)
+    M2p = np.zeros((2 * FLp, P * 2 * F2p), np.float32)
+    for p in range(P):
+        base = p * 2 * F2p
+        M2p[:FL, base:base + F2] = m2[:FL, p, :F2]
+        M2p[:FL, base + F2p:base + F2p + F2] = m2[:FL, p, F2:]
+        M2p[FLp:FLp + FL, base:base + F2] = m2[FL:, p, :F2]
+        M2p[FLp:FLp + FL, base + F2p:base + F2p + F2] = m2[FL:, p, F2:]
+
+    fnorm = np.arange(FLp) / L
+    theta = -2.0 * np.pi * fnorm
+    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
+    trig = np.zeros((8, FLp), np.float32)
+    trig[0] = theta
+    trig[1] = np.sin(theta)
+    trig[2] = np.cos(theta)
+    trig[3] = 0.5 * (1.0 + np.cos(np.pi * t))
+
+    # rfft of the 2B overlap-save frame as a real matmul → [Re|Im] planes
+    G = np.fft.rfft(np.eye(2 * block), axis=-1)  # (2B, F2)
+    DFTr = np.zeros((2 * block, 2 * F2p), np.float32)
+    DFTr[:, :F2] = G.real
+    DFTr[:, F2p:F2p + F2] = G.imag
+
+    # last-B samples of irfft_2B from [Re|Im] planes (overlap-save tail)
+    basis = np.zeros((2 * F2p, F2), np.complex128)
+    basis[:F2] = np.eye(F2)
+    basis[F2p:F2p + F2] = 1j * np.eye(F2)
+    DI = np.fft.irfft(basis, n=2 * block, axis=-1)[:, block:].astype(np.float32)
+
+    dims = (L, FL, FLp, F2, F2p, P, taps_p)
+    return M1p, M2p, trig, DFTr, DI, dims
+
+
+def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
+                        F2p: int, P: int, precision,
+                        prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
+                        h_ref, d_ref, g_ref,
+                        m1_ref, m2_ref, trig_ref, dft_ref, di_ref,
+                        y_out, nf_re, nf_im, nh_out):
+    """Whole-batch streaming step (gridless): Sp streams, 2·Sp filter rows
+    laid out [ear0 streams; ear1 streams]."""
+    hp = precision
+
+    frame = jnp.concatenate([prev_in[...], xb_ref[...]], axis=1)  # (Sp, 2B)
+    X = jnp.dot(frame, dft_ref[...], preferred_element_type=jnp.float32,
+                precision=hp)  # (Sp, 2F2p)
+    xre, xim = X[:, :F2p], X[:, F2p:]
+
+    if P > 1:
+        fr = jnp.concatenate([xre, fdl_re[...][:, :(P - 1) * F2p]], axis=1)
+        fi = jnp.concatenate([xim, fdl_im[...][:, :(P - 1) * F2p]], axis=1)
+    else:
+        fr, fi = xre, xim
+    nf_re[...] = fr
+    nf_im[...] = fi
+
+    G = jnp.dot(h_ref[...], m1_ref[...], preferred_element_type=jnp.float32,
+                precision=hp)  # (2Sp, 2FLp)
+    theta = trig_ref[0:1, :]
+    sin_t = trig_ref[1:2, :]
+    cos_t = trig_ref[2:3, :]
+    w = trig_ref[3:4, :]
+    d = d_ref[...]
+    g = g_ref[...]
+    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, 48.0)
+    di = jnp.floor(dc)
+    frac = dc - di
+    psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
+    phase = theta * di + (w * theta) * frac + (1.0 - w) * psi
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    Gr, Gi = G[:, :FLp], G[:, FLp:]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
+                         axis=1)
+    H = jnp.dot(G2, m2_ref[...], preferred_element_type=jnp.float32,
+                precision=hp)  # (2Sp, P·2F2p)
+    nh_out[...] = H
+
+    fr2 = jnp.concatenate([fr, fr], axis=0)  # FDL copied per ear row group
+    fi2 = jnp.concatenate([fi, fi], axis=0)
+
+    def mac(Hrows):  # (2Sp, P·2F2p) → (2Sp, F2p) re/im
+        yr = jnp.zeros((2 * Sp, F2p), jnp.float32)
+        yi = jnp.zeros((2 * Sp, F2p), jnp.float32)
+        for p in range(P):
+            base = p * 2 * F2p
+            hr = Hrows[:, base:base + F2p]
+            hi = Hrows[:, base + F2p:base + 2 * F2p]
+            fpr = fr2[:, p * F2p:(p + 1) * F2p]
+            fpi = fi2[:, p * F2p:(p + 1) * F2p]
+            yr = yr + fpr * hr - fpi * hi
+            yi = yi + fpr * hi + fpi * hr
+        return yr, yi
+
+    ynr, yni = mac(H)
+    if crossfade:
+        m2s = started_ref[...]  # (2Sp, 1): started flag per (ear, stream)
+        Hp = jnp.where(m2s > 0.5, ph_ref[...], H)
+        ypr, ypi = mac(Hp)
+        Yall = jnp.concatenate(
+            [jnp.concatenate([ynr, yni], axis=1),
+             jnp.concatenate([ypr, ypi], axis=1)], axis=0)  # (4Sp, 2F2p)
+        yt = jnp.dot(Yall, di_ref[...], preferred_element_type=jnp.float32,
+                     precision=hp)  # (4Sp, B)
+        ramp = (jax.lax.broadcasted_iota(jnp.float32, (1, B), 1) + 0.5) / B
+        y_out[...] = ramp * yt[:2 * Sp] + (1.0 - ramp) * yt[2 * Sp:]
+    else:
+        Yall = jnp.concatenate([ynr, yni], axis=1)
+        y_out[...] = jnp.dot(Yall, di_ref[...],
+                             preferred_element_type=jnp.float32, precision=hp)
+
+
+def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
+    """Rough VMEM footprint of the fused streaming step (constants +
+    working set) for the eligibility gate."""
+    M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
+    L, FL, FLp, F2, F2p, P, taps_p = dims
+    consts = (M1p.size + M2p.size + trig.size + DFTr.size + DI.size) * 4
+    Sp = _round_up(max(n_streams, 1), 8)
+    work = Sp * (2 * 2 * block + 2 * 2 * F2p + 4 * P * F2p
+                 + 2 * (2 * FLp + taps_p)
+                 + 6 * P * 2 * F2p + 12 * F2p + 4 * block) * 4
+    return consts + work
+
+
+@partial(jax.jit,
+         static_argnames=("taps", "block", "crossfade", "interpret",
+                          "precision"))
+def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
+                      ph_re, ph_im, started,
+                      taps: int, block: int, crossfade: bool = True,
+                      interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST):
+    """Batched streaming step in one Pallas launch.
+
+    h: (S, 2, taps); d, g: (S, 2); xb, prev_in: (S, B);
+    fdl_re/im: (S, P, F2); ph_re/im: (S, P, 2, F2) previous filter
+    partitions; started: (S,) 1.0 after the first push.
+    → (y (S, 2, B), fdl_re', fdl_im', ph_re', ph_im') in the same public
+    state formats as tinaural.models.streaming.StreamState.
+    """
+    S, B = xb.shape
+    M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
+    L, FL, FLp, F2, F2p, P, taps_p = dims
+    Sp = _round_up(max(S, 1), 8)
+    ps = Sp - S
+
+    def ear_rows(z, lanes):  # (S, 2, ...) → (2·Sp, lanes), ears stacked
+        z = jnp.pad(z, [(0, ps)] + [(0, 0)] * (z.ndim - 1))
+        z = jnp.moveaxis(z, 1, 0).reshape(2 * Sp, lanes)
+        return z
+
+    hR = ear_rows(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)]), taps_p)
+    dR = ear_rows(d[..., None], 1)
+    gR = ear_rows(g[..., None], 1)
+
+    def fdl_lanes(z):  # (S, P, F2) → (Sp, P·F2p)
+        z = jnp.pad(z, [(0, ps), (0, 0), (0, F2p - F2)])
+        return z.reshape(Sp, P * F2p)
+
+    # prev_h (S, P, 2, F2) re/im → planes rows (2·Sp, P·2F2p)
+    def ph_planes(zr, zi):
+        zr = jnp.pad(zr, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
+        zi = jnp.pad(zi, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
+        z = jnp.stack([zr, zi], axis=-2)      # (Sp, P, 2ear, 2reim, F2p)
+        z = jnp.moveaxis(z, 2, 0)             # (2ear, Sp, P, 2reim, F2p)
+        return z.reshape(2 * Sp, P * 2 * F2p)
+
+    phR = ph_planes(ph_re, ph_im)
+    st = jnp.tile(jnp.pad(started.astype(jnp.float32), [(0, ps)]),
+                  2)[..., None]  # (2Sp, 1)
+    xbP = jnp.pad(xb, [(0, ps), (0, 0)])
+    pvP = jnp.pad(prev_in, [(0, ps), (0, 0)])
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_stream_step_kernel, crossfade, Sp, block, FLp, F2p, P,
+                precision),
+        in_specs=[vm] * 14,
+        out_specs=(vm, vm, vm, vm),
+        out_shape=(jax.ShapeDtypeStruct((2 * Sp, block), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
+                   jax.ShapeDtypeStruct((2 * Sp, P * 2 * F2p), jnp.float32)),
+        interpret=interpret,
+    )(pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, st,
+      hR, dR, gR, jnp.asarray(M1p), jnp.asarray(M2p), jnp.asarray(trig),
+      jnp.asarray(DFTr), jnp.asarray(DI))
+
+    yR, nfr, nfi, nh = outs
+    y = jnp.moveaxis(yR.reshape(2, Sp, block), 0, 1)[:S]  # (S, 2, B)
+    fdl_re2 = nfr.reshape(Sp, P, F2p)[:S, :, :F2]
+    fdl_im2 = nfi.reshape(Sp, P, F2p)[:S, :, :F2]
+    nh = nh.reshape(2, Sp, P, 2, F2p)  # (ear, Sp, P, reim, F2p)
+    nh = jnp.moveaxis(nh, 0, 3)        # (Sp, P, reim, ear, F2p)
+    ph_re2 = nh[:S, :, 0, :, :F2]
+    ph_im2 = nh[:S, :, 1, :, :F2]
+    return y, fdl_re2, fdl_im2, ph_re2, ph_im2
