@@ -515,7 +515,8 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
              jnp.concatenate([ypr, ypi], axis=1)], axis=0)  # (4Sp, 2F2p)
         yt = jnp.dot(Yall, di_ref[...], preferred_element_type=jnp.float32,
                      precision=hp)  # (4Sp, B)
-        ramp = (jax.lax.broadcasted_iota(jnp.float32, (1, B), 1) + 0.5) / B
+        ramp = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+                .astype(jnp.float32) + 0.5) / B  # Mosaic: iota must be int
         y_out[...] = ramp * yt[:2 * Sp] + (1.0 - ramp) * yt[2 * Sp:]
     else:
         Yall = jnp.concatenate([ynr, yni], axis=1)
