@@ -135,10 +135,13 @@ def _trajectory_fn(table, xb, dirs, config):
     return _trajectory_core(table, xb, dirs, config)
 
 
-def _trajectory_core_batched(table: HrirTable, xbs: jax.Array,
-                             dirs: jax.Array, config: RenderConfig):
-    """Batched moving-source render through the fused kernel: xbs
-    (S, nb, B); dirs (S, nb, 2) → (S, 2, out).
+def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
+                                dirs: jax.Array, config: RenderConfig):
+    """Batched moving-source BLOCK SPECTRA through the fused kernel: xbs
+    (S, nb, B); dirs (S, nb, 2) → Y (S, nb, 2, F). Callers run
+    `_epilogue_batched` (independent renders) or sum over sources first
+    (scene mixdown — irfft/OLA are linear, so mixing in the frequency
+    domain makes the inverse-FFT cost per SCENE instead of per source).
 
     The (source, block) axes are flattened into ONE kernel launch so the
     assembly matmuls run at MXU-friendly batch sizes regardless of the
@@ -167,7 +170,14 @@ def _trajectory_core_batched(table: HrirTable, xbs: jax.Array,
     Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
                            crossfade=config.crossfade,
                            interpret=config.pallas_interpret)
-    y = _irfft_ears(Y, n_fft, config)  # (2, S·nb, n_fft)
+    return Y.reshape(S, nb, 2, n_fft // 2 + 1)
+
+
+def _epilogue_batched(Y: jax.Array, B: int, n_fft: int,
+                      config: RenderConfig) -> jax.Array:
+    """(S, nb, 2, F) block spectra → (S, 2, out) via irfft + OLA."""
+    S, nb = Y.shape[0], Y.shape[1]
+    y = _irfft_ears(Y.reshape(S * nb, 2, -1), n_fft, config)
     y = jnp.moveaxis(y.reshape(2, S, nb, n_fft), 0, 1)  # (S, 2, nb, n_fft)
     return jax.vmap(lambda yy: overlap_add(yy, B))(y)
 
@@ -198,6 +208,25 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     return overlap_add(_irfft_ears(X[:, None, :] * H[None], n_fft, config), B)
 
 
+def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
+                          config: RenderConfig) -> jax.Array:
+    """Block spectra of `_static_block_core` before the inverse: (nb, 2, F).
+    Lets the static scene renderer mix sources in the frequency domain
+    (one irfft+OLA per scene chunk instead of per source)."""
+    taps = table.h.shape[-1]
+    B = xb.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    h, d, g = interpolate(table, dir2[0], dir2[1], config)
+    if config.filter_path == "hybrid":
+        H = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (2, F)
+    elif config.filter_path == "matmul":
+        H = filter_spectrum_mm(h, d, g, taps, n_fft)  # (2, F)
+    else:
+        h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
+        H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
+    return jnp.fft.rfft(xb, n=n_fft)[:, None, :] * H[None]
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _static_block_fn(table, xb, dir2, config):
     return _static_block_core(table, xb, dir2, config)
@@ -205,13 +234,18 @@ def _static_block_fn(table, xb, dir2, config):
 
 @partial(jax.jit, static_argnames=("config",))
 def _scene_static_fn(table, xbs, dirs, config):
-    """Static-direction scene: xbs (S, nb, B); dirs (S, 2) → (2, out)."""
+    """Static-direction scene: xbs (S, nb, B); dirs (S, 2) → (2, out).
+    Sources mix in the frequency domain (irfft/OLA are linear), so the
+    inverse-FFT cost is per CHUNK, not per source."""
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+    B = xbs.shape[-1]
+    n_fft = next_pow2(B + table.h.shape[-1] + DELAY_PAD - 1)
 
     def chunk(args):
         xb, dr = args
-        y = jax.vmap(lambda b, d: _static_block_core(table, b, d, config))(xb, dr)
-        return jnp.sum(y, axis=0)
+        Y = jax.vmap(lambda b, d: _static_block_spectra(table, b, d, config))(
+            xb, dr)
+        return overlap_add(_irfft_ears(jnp.sum(Y, axis=0), n_fft, config), B)
 
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
 
@@ -341,7 +375,8 @@ def _batch_fn(table, xbs, dirs, config):
     def chunk(args):
         xb, dr = args
         if fused:
-            return _trajectory_core_batched(table, xb, dr, config)
+            Y = _trajectory_spectra_batched(table, xb, dr, config)
+            return _epilogue_batched(Y, xbs.shape[-1], n_fft, config)
         return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
 
     y = jax.lax.map(chunk, (xc, dc))  # (n_chunks, ch, 2, out)
@@ -365,9 +400,11 @@ def _scene_fn(table, xbs, dirs, config):
     def chunk(args):
         xb, dr = args
         if fused:
-            y = _trajectory_core_batched(table, xb, dr, config)
-        else:
-            y = jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
+            Y = jnp.sum(_trajectory_spectra_batched(table, xb, dr, config),
+                        axis=0)  # frequency-domain mixdown: ONE epilogue
+            return overlap_add(_irfft_ears(Y, n_fft, config),
+                               xbs.shape[-1])
+        y = jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
         return jnp.sum(y, axis=0)
 
     return jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
