@@ -211,3 +211,29 @@ def test_config_flag_matrix_trajectory_and_stream(table, rng):
             y = np.asarray(s.push(xb, *dirs[i]))
             ref = gs.push(xb, *dirs[i])
             assert snr_db(ref, y) > GATE_DB, (cfg, i)
+
+
+def test_fft_pack_matrix_parity(table, rng):
+    """Every fft_pack mode (off/fwd/both) × crossfade holds parity with
+    the golden oracle in trajectory, static-block and scene modes — the
+    packing is a pure perf knob and must be value-identical."""
+    x = rng.standard_normal(5 * 256)
+    nb = 5
+    dirs = np.stack([np.linspace(10, 200, nb), np.linspace(-30, 60, nb)],
+                    axis=1)
+    xs = rng.standard_normal((3, 5 * 256))
+    sdirs = np.stack([rng.uniform(0, 360, 3), rng.uniform(-40, 90, 3)], axis=1)
+    for pack in ("off", "fwd", "both"):
+        for crossfade in (True, False):
+            cfg = RenderConfig(block_size=256, fft_pack=pack,
+                               crossfade=crossfade)
+            r = BinauralRenderer(table, cfg)
+            y = np.asarray(r.render_trajectory(x, dirs))
+            ref = golden.render_trajectory(table, x, dirs, cfg)
+            assert snr_db(ref, y) > 60, (pack, crossfade, "traj")
+            y = np.asarray(r.render(x, 33.0, 12.0))
+            ref = golden.render_static(table, x, 33.0, 12.0, cfg)
+            assert snr_db(ref, y) > 60, (pack, crossfade, "static")
+            y = np.asarray(r.render_scene(xs, sdirs))
+            ref = golden.render_scene(table, xs, sdirs, cfg)
+            assert snr_db(ref, y) > 60, (pack, crossfade, "scene")
