@@ -34,11 +34,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block", type=int, default=1024, help="block size (pow2)")
     p.add_argument("--cpu-golden", action="store_true",
                    help="render with the NumPy golden reference instead of JAX")
-    p.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable the fused Pallas kernels (default: on for "
+                        "TPU backends, automatic jnp fallback on CPU)")
     p.add_argument("--filter-path", choices=["matmul", "hybrid", "fft"],
                    default="matmul",
                    help="filter-assembly implementation (same math; "
                         "matmul = fastest on TPU)")
+    p.add_argument("--fft-pack", choices=["off", "fwd", "both"],
+                   default="both",
+                   help="two-for-one real-FFT packing (same math)")
 
 
 def _config(args) -> RenderConfig:
@@ -47,8 +52,9 @@ def _config(args) -> RenderConfig:
         apply_itd=not args.no_itd,
         apply_ild=not args.no_ild,
         block_size=args.block,
-        use_pallas=getattr(args, "pallas", False),
+        use_pallas=not getattr(args, "no_pallas", False),
         filter_path=getattr(args, "filter_path", "matmul"),
+        fft_pack=getattr(args, "fft_pack", "both"),
     )
 
 
