@@ -30,3 +30,21 @@ def test_fft_pair_packing_exact(rng):
         Br.real.astype(np.float32), Br.imag.astype(np.float32))
     assert snr_db(np.fft.irfft(Ar, n), np.asarray(ya)) > 120
     assert snr_db(np.fft.irfft(Br, n), np.asarray(yb)) > 120
+
+
+def test_mmfft_matches_numpy(rng):
+    """Two-stage matmul FFT == np.fft.fft/ifft to f32 precision."""
+    import jax
+    from tinaural.ops.mmfft import fft_planes
+
+    for n in (256, 512, 2048, 4096):
+        z = (rng.standard_normal((6, n)) + 1j * rng.standard_normal((6, n)))
+        xr = z.real.astype(np.float32)
+        xi = z.imag.astype(np.float32)
+        for inverse in (False, True):
+            Xr, Xi = jax.jit(
+                lambda a, b, inv=inverse, nn=n: fft_planes(a, b, nn, inv))(xr, xi)
+            ref = (np.fft.ifft if inverse else np.fft.fft)(z)
+            got = np.stack([np.asarray(Xr, np.float64), np.asarray(Xi, np.float64)])
+            want = np.stack([ref.real, ref.imag])
+            assert snr_db(want, got) > 100, (n, inverse)

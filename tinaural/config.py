@@ -60,6 +60,9 @@ class RenderConfig:
         rffts AND the two ears' inverse, ``"fwd"`` only the forward
         pair, ``"off"`` uses plain rfft/irfft. Value-identical to f32
         rounding; a pure perf knob.
+      fft_impl: how the packed transforms are computed — ``"xla"``
+        (jnp.fft) or ``"matmul"`` (two-stage Cooley–Tukey as MXU
+        matmuls, tinaural.ops.mmfft; same math to f32 rounding).
       pallas_interpret: run the Pallas kernel in interpreter mode (CPU
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear
@@ -78,6 +81,7 @@ class RenderConfig:
     use_pallas: bool = True
     pallas_interpret: bool = False
     fft_pack: str = "both"
+    fft_impl: str = "xla"
     out_length: str = "full"
 
     def __post_init__(self):
@@ -91,6 +95,9 @@ class RenderConfig:
         if self.fft_pack not in ("off", "fwd", "both"):
             raise ValueError(
                 f"fft_pack must be off|fwd|both, got {self.fft_pack!r}")
+        if self.fft_impl not in ("xla", "matmul"):
+            raise ValueError(
+                f"fft_impl must be xla|matmul, got {self.fft_impl!r}")
         for name in ("block_size", "stream_block"):
             v = getattr(self, name)
             if v <= 0 or (v & (v - 1)) != 0:

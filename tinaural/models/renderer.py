@@ -56,7 +56,7 @@ def _irfft_ears(Y: jax.Array, n_fft: int, config: RenderConfig) -> jax.Array:
     if config.fft_pack == "both":
         from ..ops.fftpack import irfft_pair
 
-        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], n_fft)
+        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], n_fft, impl=config.fft_impl)
         return jnp.stack([y0, y1], axis=0)
     return jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), 0, 1)
 
@@ -67,7 +67,8 @@ def _rfft_updown(xb: jax.Array, B: int, n_fft: int,
     complex fft unless config.fft_pack == "off"."""
     ramp = ((jnp.arange(B, dtype=xb.dtype) + 0.5) / B)
     if config.fft_pack != "off":
-        return rfft_pair(xb * ramp, xb * (1.0 - ramp), n_fft)
+        return rfft_pair(xb * ramp, xb * (1.0 - ramp), n_fft,
+                         impl=config.fft_impl)
     return (jnp.fft.rfft(xb * ramp, n=n_fft),
             jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft))
 

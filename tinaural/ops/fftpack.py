@@ -25,15 +25,22 @@ import jax
 import jax.numpy as jnp
 
 
-def rfft_pair(a: jax.Array, b: jax.Array, n: int):
+def rfft_pair(a: jax.Array, b: jax.Array, n: int, impl: str = "xla"):
     """rfft(a, n), rfft(b, n) via one complex fft.
 
     a, b: (..., m) real with m ≤ n → two (..., n//2 + 1) complex64.
+    ``impl``: "xla" (jnp.fft) or "matmul" (tinaural.ops.mmfft).
     """
     F = n // 2 + 1
     pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
-    z = jax.lax.complex(jnp.pad(a, pad), jnp.pad(b, pad))
-    Z = jnp.fft.fft(z, n=n, axis=-1)
+    if impl == "matmul":
+        from .mmfft import fft_planes
+
+        Zr, Zi = fft_planes(jnp.pad(a, pad), jnp.pad(b, pad), n)
+        Z = jax.lax.complex(Zr, Zi)
+    else:
+        z = jax.lax.complex(jnp.pad(a, pad), jnp.pad(b, pad))
+        Z = jnp.fft.fft(z, n=n, axis=-1)
     # conj(Z[(−k) mod n]) for k = 0..F−1
     Zc = jnp.conj(
         jnp.concatenate([Z[..., :1], jnp.flip(Z[..., n - F + 1:], -1)], -1))
@@ -43,15 +50,21 @@ def rfft_pair(a: jax.Array, b: jax.Array, n: int):
     return A, B
 
 
-def irfft_pair(A: jax.Array, B: jax.Array, n: int):
+def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
     """irfft(A, n), irfft(B, n) via one complex ifft.
 
     A, B: (..., n//2 + 1) complex half-spectra → two (..., n) real.
+    ``impl``: "xla" (jnp.fft) or "matmul" (tinaural.ops.mmfft).
     """
     F = n // 2 + 1
     Zl = A + 1j * B  # k = 0..F−1
     # k = F..n−1: Hermitian tails conj(A[n−k]) + j·conj(B[n−k])
     Zh = jnp.conj(jnp.flip(A[..., 1:F - 1], -1)) \
         + 1j * jnp.conj(jnp.flip(B[..., 1:F - 1], -1))
-    z = jnp.fft.ifft(jnp.concatenate([Zl, Zh], -1), n=n, axis=-1)
+    Z = jnp.concatenate([Zl, Zh], -1)
+    if impl == "matmul":
+        from .mmfft import fft_planes
+
+        return fft_planes(jnp.real(Z), jnp.imag(Z), n, inverse=True)
+    z = jnp.fft.ifft(Z, n=n, axis=-1)
     return jnp.real(z), jnp.imag(z)
