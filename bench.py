@@ -239,9 +239,36 @@ def w_stream() -> dict:
     pos = [e for e in ests if e > 0]
     per_compute = (float(np.median(pos)) if len(pos) >= 2
                    else min(fenced(50) for _ in range(2)) / 50)
+
+    # Serving mode: 64 listeners advance one block per fused launch.
+    from tinaural.models import BatchedStream
+
+    S = 64
+    bs = BatchedStream(load_hrir_set("synthetic"), S,
+                       RenderConfig(stream_block=B))
+    rngb = np.random.default_rng(7)
+    blocks = rngb.standard_normal((S, B)).astype(np.float32)
+    azs = np.linspace(0, 350, S).astype(np.float32)
+    els = np.zeros(S, np.float32)
+
+    def fenced_b(n):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = bs.push(blocks, azs, els)
+        float(np.asarray(y[0, 0, -1]))
+        return time.perf_counter() - t0
+
+    fenced_b(3)
+    estsb = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
+    posb = [e for e in estsb if e > 0]
+    per_b = (float(np.median(posb)) if len(posb) >= 2
+             else min(fenced_b(16) for _ in range(2)) / 16)
     return {"push_compute_ms": per_compute * 1e3,
             "push_latency_ms_incl_tunnel_rtt": per_rtt * 1e3,
-            "realtime_budget_ms": B / SR * 1e3}
+            "realtime_budget_ms": B / SR * 1e3,
+            "batched64_push_ms": per_b * 1e3,
+            "batched64_aggregate_audio_sec_per_sec": S * (B / SR) / per_b}
 
 
 def w_snr() -> dict:
@@ -335,6 +362,9 @@ def main() -> None:
         "stream_push_latency_ms_incl_tunnel_rtt": get(
             "stream", "push_latency_ms_incl_tunnel_rtt", nd=3),
         "stream_block_audio_ms": get("stream", "realtime_budget_ms", nd=3),
+        "stream_batched64_push_ms": get("stream", "batched64_push_ms", nd=3),
+        "stream_batched64_aggregate": get(
+            "stream", "batched64_aggregate_audio_sec_per_sec"),
         "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),
         "snr_vs_cpu_golden_db": get("snr", "snr_db"),
         "snr_gate_db": 60.0,

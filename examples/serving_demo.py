@@ -1,0 +1,62 @@
+"""Serving demo: many listeners, one device launch per audio block.
+
+Simulates a production binaural-rendering service: S independent
+listeners, each with their own program material and head trajectory,
+advance one block per `BatchedStream.push` — a single fused device
+launch (the Pallas streaming-step kernel on TPU backends). Writes the
+first listener's stereo stream and reports the aggregate realtime
+margin.
+
+    PYTHONPATH="/root/repo:$PYTHONPATH" python examples/serving_demo.py out_dir
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from tinaural import RenderConfig, load_hrir_set, write_wav
+from tinaural.models import BatchedStream
+
+SR = 44100
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "demo_out"
+    os.makedirs(out_dir, exist_ok=True)
+
+    S, B, seconds = 16, 256, 2.0
+    table = load_hrir_set("synthetic")
+    cfg = RenderConfig(stream_block=B)
+    service = BatchedStream(table, S, cfg)
+
+    rng = np.random.default_rng(0)
+    n_blocks = int(seconds * SR) // B
+    audio = rng.standard_normal((S, n_blocks * B)).astype(np.float32) * 0.1
+    az0 = rng.uniform(0, 360, S).astype(np.float32)
+    rate = rng.uniform(-90, 90, S).astype(np.float32)  # deg/s head turn
+
+    outs = []
+    t0 = time.perf_counter()
+    for b in range(n_blocks):
+        azs = (az0 + rate * (b * B / SR)) % 360.0
+        els = np.zeros(S, np.float32)
+        y = service.push(audio[:, b * B:(b + 1) * B], azs, els)
+        outs.append(np.asarray(y[0]))
+    wall = time.perf_counter() - t0
+
+    write_wav(os.path.join(out_dir, "listener0.wav"), SR,
+              np.concatenate(outs, axis=1).T, normalize=True)
+    per_push = wall / n_blocks * 1e3
+    budget = B / SR * 1e3
+    print(f"served {S} listeners × {seconds:.1f}s: {per_push:.1f} ms/push "
+          f"(budget {budget:.1f} ms/block for realtime).")
+    print("NOTE: on a network-tunneled chip each push pays the tunnel "
+          "round trip; see bench.py's pipelined stream numbers for the "
+          "per-block device cost on attached hardware.")
+    print(f"wrote {out_dir}/listener0.wav")
+
+
+if __name__ == "__main__":
+    main()

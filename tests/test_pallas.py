@@ -156,3 +156,35 @@ def test_stream_with_fused_step_matches_golden(table, rng):
                                 np.full(3, el, np.float32)))
         for k in range(3):
             assert snr_db(ref, yb[k]) > 60, (i, k)
+
+
+def test_kernel_vmem_gate_falls_back_for_long_filters(rng):
+    """512-tap tables overflow the kernels' VMEM budgets at these block
+    sizes; the routing must silently take the jnp paths and stay correct
+    (use_pallas=True end to end)."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models import Stream
+    from tinaural.models.renderer import _use_fused_kernel, next_pow2
+    from tinaural.models.streaming import _use_fused_step
+    from tinaural.ops.filters import DELAY_PAD
+
+    long_table = load_hrir_set("synthetic", taps=512)
+    cfg = RenderConfig(block_size=1024, stream_block=256, use_pallas=True,
+                       pallas_interpret=True)
+    n_fft = next_pow2(1024 + 512 + DELAY_PAD - 1)
+    assert not _use_fused_kernel(cfg, 512, n_fft)
+    assert not _use_fused_step(long_table, cfg, 1)
+
+    x = rng.standard_normal(4 * 1024)
+    dirs = np.stack([np.linspace(0, 90, 4), np.zeros(4)], axis=1)
+    y = np.asarray(BinauralRenderer(long_table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(long_table, x, dirs,
+                                   RenderConfig(block_size=1024))
+    assert snr_db(ref, y) > 60
+
+    s = Stream(long_table, cfg)
+    gold = golden.GoldenStream(long_table, RenderConfig(stream_block=256))
+    xb = rng.standard_normal(256).astype(np.float32)
+    yb = np.asarray(s.push(xb, 45.0, 0.0))
+    refb = gold.push(xb.astype(np.float64), 45.0, 0.0)
+    assert snr_db(refb, yb) > 60

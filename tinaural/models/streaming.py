@@ -201,17 +201,24 @@ class BatchedStream:
         self._state = jax.device_put(value)
 
     def push(self, blocks, azs, els) -> jax.Array:
-        """blocks: (S, B); azs, els: (S,) → (S, 2, B)."""
+        """blocks: (S, B); azs, els: (S,) → (S, 2, B).
+
+        Device-resident inputs are used as-is (zero copy) — a serving
+        loop that pre-stages its audio on device avoids a host↔device
+        round trip per block.
+        """
         B = self.config.stream_block
-        blocks = np.asarray(blocks, dtype=np.float32)
+        if not isinstance(blocks, jax.Array):
+            blocks = jnp.asarray(np.asarray(blocks, dtype=np.float32))
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
-        azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
-        els = jnp.asarray(np.asarray(els, dtype=np.float32))
-        self._state, y = _batch_step_fn(self.table, self._state,
-                                        jnp.asarray(blocks), azs, els,
-                                        self.config)
+        if not isinstance(azs, jax.Array):
+            azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
+        if not isinstance(els, jax.Array):
+            els = jnp.asarray(np.asarray(els, dtype=np.float32))
+        self._state, y = _batch_step_fn(self.table, self._state, blocks,
+                                        azs, els, self.config)
         return y
 
 
@@ -246,11 +253,12 @@ class Stream:
     def push(self, block, az: float, el: float) -> jax.Array:
         """Feed one mono block (B,) at the current head-relative direction
         → one stereo block (2, B)."""
-        block = np.asarray(block, dtype=np.float32)
+        if not isinstance(block, jax.Array):
+            block = jnp.asarray(np.asarray(block, dtype=np.float32))
         if block.shape != (self.block_size,):
             raise ValueError(
                 f"block must be ({self.block_size},), got {block.shape}")
-        self._state, y = _step_fn(self.table, self._state, jnp.asarray(block),
+        self._state, y = _step_fn(self.table, self._state, block,
                                   jnp.float32(az), jnp.float32(el), self.config)
         return y
 
