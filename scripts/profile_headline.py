@@ -49,10 +49,15 @@ def main():
         np.stack([np.linspace(0, 350, NB) % 360,
                   40 * np.sin(np.linspace(0, 20, NB))], axis=1).astype(np.float32))
 
+    # use_pallas must be PINNED per variant (it defaults True since the
+    # round-2 flip — an unpinned "xla" label would silently run the kernel)
     variants = {
-        "xla_nopack": RenderConfig(block_size=B, fft_pack="off"),
-        "xla_fwd": RenderConfig(block_size=B, fft_pack="fwd"),
-        "xla_both": RenderConfig(block_size=B, fft_pack="both"),
+        "xla_nopack": RenderConfig(block_size=B, fft_pack="off",
+                                   use_pallas=False),
+        "xla_fwd": RenderConfig(block_size=B, fft_pack="fwd",
+                                use_pallas=False),
+        "xla_both": RenderConfig(block_size=B, fft_pack="both",
+                                 use_pallas=False),
         "pallas_fwd": RenderConfig(block_size=B, fft_pack="fwd",
                                    use_pallas=True),
         "pallas_both": RenderConfig(block_size=B, fft_pack="both",

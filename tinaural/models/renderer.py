@@ -73,14 +73,26 @@ def _rfft_updown(xb: jax.Array, B: int, n_fft: int,
             jnp.fft.rfft(xb * (1.0 - ramp), n=n_fft))
 
 
+def _filter_spectra(h, d, g, taps: int, n_fft: int,
+                    config: RenderConfig) -> jax.Array:
+    """Per-direction filter spectra via the configured assembly path
+    (same linear map on all three — see tinaural.ops.filters).
+    h: (..., 2, taps); d, g: (..., 2) → (..., 2, n_fft//2+1) complex."""
+    if config.filter_path == "hybrid":
+        return filter_spectrum_hybrid(h, d, g, taps, n_fft)
+    if config.filter_path == "matmul":
+        return filter_spectrum_mm(h, d, g, taps, n_fft)
+    return jnp.fft.rfft(effective_filter(h, d, g, taps), n=n_fft)
+
+
 def _use_fused_kernel(config: RenderConfig, taps: int, n_fft: int) -> bool:
     """Route through the fused Pallas assembly+MAC kernel when enabled,
     on the matmul filter path, and its VMEM-resident constants fit (long
     BRIRs overflow VMEM — they take the partitioned paths anyway)."""
     if not config.use_pallas or config.filter_path != "matmul":
         return False
-    if jax.default_backend() == "cpu" and not config.pallas_interpret:
-        return False  # Mosaic kernels are TPU-only; CPU uses the jnp path
+    if jax.default_backend() != "tpu" and not config.pallas_interpret:
+        return False  # Mosaic kernels are TPU-only; others use the jnp path
     from ..ops.pallas_kernels import assembly_mac_vmem_bytes
 
     return assembly_mac_vmem_bytes(taps, n_fft) < (12 << 20)
@@ -113,14 +125,7 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
                                crossfade=config.crossfade,
                                interpret=config.pallas_interpret)
     else:
-        if config.filter_path == "hybrid":
-            Hc = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (nb, 2, F)
-        elif config.filter_path == "matmul":
-            Hc = filter_spectrum_mm(h, d, g, taps, n_fft)  # (nb, 2, F)
-        else:
-            h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
-            Hc = jnp.fft.rfft(h_eff, n=n_fft)  # (nb, 2, F)
-
+        Hc = _filter_spectra(h, d, g, taps, n_fft, config)  # (nb, 2, F)
         if config.crossfade:
             Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # prev filter
             Xu, Xd = _rfft_updown(xb, B, n_fft, config)
@@ -194,19 +199,10 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     block — for static scenes this removes a third of the large FFTs and
     all per-block gathers (BASELINE.json:10 "per-source HRTF gather").
     """
-    taps = table.h.shape[-1]
     B = xb.shape[-1]
-    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
-    h, d, g = interpolate(table, dir2[0], dir2[1], config)
-    if config.filter_path == "hybrid":
-        H = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (2, F)
-    elif config.filter_path == "matmul":
-        H = filter_spectrum_mm(h, d, g, taps, n_fft)  # (2, F)
-    else:
-        h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
-        H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
-    X = jnp.fft.rfft(xb, n=n_fft)  # (nb, F)
-    return overlap_add(_irfft_ears(X[:, None, :] * H[None], n_fft, config), B)
+    n_fft = next_pow2(B + table.h.shape[-1] + DELAY_PAD - 1)
+    Y = _static_block_spectra(table, xb, dir2, config)
+    return overlap_add(_irfft_ears(Y, n_fft, config), B)
 
 
 def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
@@ -218,13 +214,7 @@ def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     h, d, g = interpolate(table, dir2[0], dir2[1], config)
-    if config.filter_path == "hybrid":
-        H = filter_spectrum_hybrid(h, d, g, taps, n_fft)  # (2, F)
-    elif config.filter_path == "matmul":
-        H = filter_spectrum_mm(h, d, g, taps, n_fft)  # (2, F)
-    else:
-        h_eff = effective_filter(h, d, g, taps)  # (2, T_eff)
-        H = jnp.fft.rfft(h_eff, n=n_fft)  # (2, F)
+    H = _filter_spectra(h, d, g, taps, n_fft, config)  # (2, F)
     return jnp.fft.rfft(xb, n=n_fft)[:, None, :] * H[None]
 
 

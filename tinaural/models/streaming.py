@@ -79,8 +79,8 @@ def _use_fused_step(table: HrirTable, config: RenderConfig,
     and its VMEM working set fits (long BRIRs / huge batches fall back)."""
     if not config.use_pallas or config.filter_path != "matmul":
         return False
-    if jax.default_backend() == "cpu" and not config.pallas_interpret:
-        return False
+    if jax.default_backend() != "tpu" and not config.pallas_interpret:
+        return False  # Mosaic kernels are TPU-only
     from ..ops.pallas_kernels import stream_step_vmem_bytes
 
     return stream_step_vmem_bytes(
@@ -115,6 +115,11 @@ def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
             table, st1, xb[None], jnp.asarray(az)[None],
             jnp.asarray(el)[None], config)
         return jax.tree.map(lambda x: x[0], new_state), y[0]
+    return _step_core_xla(table, state, xb, az, el, config)
+
+
+def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
+                   az, el, config: RenderConfig):
     B = config.stream_block
     H = _filter_partitions(table, az, el, config)  # (P, 2, F)
     X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))  # (F,) of 2B frame
@@ -167,8 +172,10 @@ def _batch_step_fn(table, state, xbs, azs, els, config):
     one fused Pallas launch when eligible, else a vmapped XLA step."""
     if _use_fused_step(table, config, xbs.shape[0]):
         return _fused_batch_step(table, state, xbs, azs, els, config)
+    # NB: vmap the XLA step directly — routing through _step_core would
+    # re-enter the fused path at S=1 and defeat the batch-level VMEM gate
     return jax.vmap(
-        lambda st, xb, az, el: _step_core(table, st, xb, az, el, config)
+        lambda st, xb, az, el: _step_core_xla(table, st, xb, az, el, config)
     )(state, xbs, azs, els)
 
 
@@ -210,13 +217,19 @@ class BatchedStream:
         B = self.config.stream_block
         if not isinstance(blocks, jax.Array):
             blocks = jnp.asarray(np.asarray(blocks, dtype=np.float32))
+        elif blocks.dtype != jnp.float32:
+            blocks = blocks.astype(jnp.float32)  # on-device cast, no copy back
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
         if not isinstance(azs, jax.Array):
             azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
+        elif azs.dtype != jnp.float32:
+            azs = azs.astype(jnp.float32)
         if not isinstance(els, jax.Array):
             els = jnp.asarray(np.asarray(els, dtype=np.float32))
+        elif els.dtype != jnp.float32:
+            els = els.astype(jnp.float32)
         self._state, y = _batch_step_fn(self.table, self._state, blocks,
                                         azs, els, self.config)
         return y
@@ -255,6 +268,8 @@ class Stream:
         → one stereo block (2, B)."""
         if not isinstance(block, jax.Array):
             block = jnp.asarray(np.asarray(block, dtype=np.float32))
+        elif block.dtype != jnp.float32:
+            block = block.astype(jnp.float32)  # on-device cast
         if block.shape != (self.block_size,):
             raise ValueError(
                 f"block must be ({self.block_size},), got {block.shape}")

@@ -132,6 +132,42 @@ def fused_spectral_mac(Xu: jax.Array, Xd: jax.Array, Hc: jax.Array,
 # same linear map as the XLA path (parity-tested in interpret mode and by
 # the on-chip TINAURAL_PERF gate).
 
+def _ramp_trig_table(L: int, FLp: int) -> np.ndarray:
+    """Lane-constant delay-ramp factors, rows [θ, sin θ, cos θ, taper w]
+    over the L-point rfft bins, padded to FLp lanes. Shared by both fused
+    kernels' constant builders."""
+    fnorm = np.arange(FLp) / L
+    theta = -2.0 * np.pi * fnorm
+    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
+    trig = np.zeros((8, FLp), np.float32)
+    trig[0] = theta
+    trig[1] = np.sin(theta)
+    trig[2] = np.cos(theta)
+    trig[3] = 0.5 * (1.0 + np.cos(np.pi * t))
+    return trig
+
+
+def _ramp_cos_sin(d, trig_ref):
+    """In-kernel delay ramp (mirror of ops.filters.delay_ramp incl. the
+    clip): d (R, 1) delays + the _ramp_trig_table constant → (cos, sin)
+    of the ramp phase, (R, FLp) each. The lane-only factors come from the
+    table (the XLA chain recomputed them per (block, ear); profiled at
+    40% of assembly cost); only atan2/cos/sin of the d-dependent phase
+    remain per element."""
+    from .filters import DELAY_PAD
+
+    theta = trig_ref[0:1, :]
+    sin_t = trig_ref[1:2, :]
+    cos_t = trig_ref[2:3, :]
+    w = trig_ref[3:4, :]
+    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, DELAY_PAD - 16.0)
+    di = jnp.floor(dc)
+    frac = dc - di
+    psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
+    phase = theta * di + (w * theta) * frac + (1.0 - w) * psi
+    return jnp.cos(phase), jnp.sin(phase)
+
+
 _CHUNK = 64  # blocks per grid step → 128 (block, ear) rows per matmul
 
 
@@ -193,17 +229,9 @@ def _padded_assembly_mats(taps: int, n_fft: int):
     MAp[:T_pad, :Fn] = MA[:, :Fn]
     MAp[:T_pad, Fnp:Fnp + Fn] = MA[:, Fn:]
 
-    # Lane-constant ramp factors (see _assembly_mac_kernel): rows
-    # [θ, sin θ, cos θ, taper w] over the L-point rfft bins. Lanes ≥ FL
-    # are don't-cares — M1p's zero columns null their contribution.
-    fnorm = np.arange(FLp) / L
-    theta = -2.0 * np.pi * fnorm
-    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
-    trig = np.zeros((8, FLp), np.float32)
-    trig[0] = theta
-    trig[1] = np.sin(theta)
-    trig[2] = np.cos(theta)
-    trig[3] = 0.5 * (1.0 + np.cos(np.pi * t))
+    # Lanes ≥ FL are don't-cares — M1p's zero columns null their
+    # contribution through the chain.
+    trig = _ramp_trig_table(L, FLp)
 
     dims = (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p)
     return M1p, MBp, MAp, trig, dims
@@ -226,23 +254,7 @@ def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
     G = jnp.dot(h, m1_ref[...], preferred_element_type=jnp.float32,
                 precision=precision)  # (R, 2FLp)
 
-    # delay ramp (mirror of ops.filters.delay_ramp incl. the clip); the
-    # lane-only factors (theta, sin, cos, taper w) are precomputed host-
-    # side and broadcast from the trig constant — the XLA chain recomputed
-    # them per (block, ear) and the profiler blamed 40% of assembly cost
-    # on ramp transcendentals. Only atan2/cos/sin of the d-dependent phase
-    # remain per element.
-    theta = trig_ref[0:1, :]     # (1, FLp)
-    sin_t = trig_ref[1:2, :]
-    cos_t = trig_ref[2:3, :]
-    w = trig_ref[3:4, :]
-    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, 48.0)
-    di = jnp.floor(dc)
-    frac = dc - di
-    psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
-    phase = theta * di + (w * theta) * frac + (1.0 - w) * psi
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
+    c, s = _ramp_cos_sin(d, trig_ref)
 
     Gr = G[:, :FLp]
     Gi = G[:, FLp:]
@@ -420,14 +432,7 @@ def _stream_step_mats(taps: int, block: int):
         M2p[FLp:FLp + FL, base:base + F2] = m2[FL:, p, :F2]
         M2p[FLp:FLp + FL, base + F2p:base + F2p + F2] = m2[FL:, p, F2:]
 
-    fnorm = np.arange(FLp) / L
-    theta = -2.0 * np.pi * fnorm
-    t = np.clip((fnorm - TAPER_LO) / (TAPER_HI - TAPER_LO), 0.0, 1.0)
-    trig = np.zeros((8, FLp), np.float32)
-    trig[0] = theta
-    trig[1] = np.sin(theta)
-    trig[2] = np.cos(theta)
-    trig[3] = 0.5 * (1.0 + np.cos(np.pi * t))
+    trig = _ramp_trig_table(L, FLp)
 
     # rfft of the 2B overlap-save frame as a real matmul → [Re|Im] planes
     G = np.fft.rfft(np.eye(2 * block), axis=-1)  # (2B, F2)
@@ -470,18 +475,8 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
 
     G = jnp.dot(h_ref[...], m1_ref[...], preferred_element_type=jnp.float32,
                 precision=hp)  # (2Sp, 2FLp)
-    theta = trig_ref[0:1, :]
-    sin_t = trig_ref[1:2, :]
-    cos_t = trig_ref[2:3, :]
-    w = trig_ref[3:4, :]
-    d = d_ref[...]
+    c, s = _ramp_cos_sin(d_ref[...], trig_ref)
     g = g_ref[...]
-    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, 48.0)
-    di = jnp.floor(dc)
-    frac = dc - di
-    psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
-    phase = theta * di + (w * theta) * frac + (1.0 - w) * psi
-    c, s = jnp.cos(phase), jnp.sin(phase)
     Gr, Gi = G[:, :FLp], G[:, FLp:]
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
