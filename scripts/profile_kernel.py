@@ -36,7 +36,8 @@ def marginal(call, k1=2, k2=12, reps=3):
         y = None
         for _ in range(k):
             y = call()
-        float(np.asarray(jnp.real(y[0, 0, :1]))[0])
+        arr = np.asarray(jnp.real(y) if jnp.iscomplexobj(y) else y)
+        float(arr.reshape(-1)[-1])
         return time.perf_counter() - t0
 
     batch(1)
@@ -99,17 +100,6 @@ def main():
 
     t_rfft = marginal(lambda: in_rffts(xbj))
     print(f"input rffts(+bcast)  {t_rfft*1e3:8.3f} ms", flush=True)
-
-    dirsj = jax.device_put(jnp.asarray(dirs))
-
-    @jax.jit
-    def gather(dirs):
-        h, d, g = jax.vmap(lambda a, e: interpolate(tbl, a, e, CFG))(
-            dirs[:, 0], dirs[:, 1])
-        return h[:, :, :1] + d[:, :, None] + g[:, :, None]
-
-    t_g = marginal(lambda: gather(dirsj)[:, 0])
-    print(f"gather/interp        {t_g*1e3:8.3f} ms", flush=True)
 
     for prec in ("DEFAULT", "HIGHEST"):
         p = getattr(jax.lax.Precision, prec)

@@ -26,6 +26,11 @@ from ..models.renderer import _trajectory_core
 @partial(jax.jit, static_argnames=("config", "mesh"))
 def scene_loss_sharded(params: FitParams, table, xbs, dirs, target,
                        config: RenderConfig, mesh: Mesh) -> jax.Array:
+    # The loss DIFFERENTIATES through the render; pallas_call has no AD
+    # rule, so fitting always takes the jnp path (identical math — the
+    # kernel is parity-gated against it).
+    config = config.replace(use_pallas=False)
+
     @partial(
         shard_map,
         mesh=mesh,

@@ -19,12 +19,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.renderer import _trajectory_core
+from ..models.renderer import (_irfft_ears, _trajectory_core,
+                               _trajectory_spectra_batched,
+                               _use_fused_kernel, next_pow2)
 from ..ops.filters import DELAY_PAD
+from ..ops.ola import overlap_add
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
 def _scene_sharded_fn(table, xbs, dirs, config, mesh):
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(xbs.shape[-1] + taps + DELAY_PAD - 1)
+    fused = _use_fused_kernel(config, taps, n_fft)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -33,10 +40,21 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh):
         check_vma=False,
     )
     def fn(table, xbs, dirs):
-        y = jax.vmap(lambda xb, dr: _trajectory_core(table, xb, dr, config))(xbs, dirs)
+        if fused:
+            # One flattened kernel launch for the shard's sources (no
+            # vmap-of-pallas), frequency-domain local mixdown, ONE
+            # irfft+OLA epilogue per shard — same structure as the
+            # single-chip _scene_fn.
+            Y = jnp.sum(_trajectory_spectra_batched(table, xbs, dirs, config),
+                        axis=0)
+            y = overlap_add(_irfft_ears(Y, n_fft, config), xbs.shape[-1])
+        else:
+            y = jnp.sum(jax.vmap(
+                lambda xb, dr: _trajectory_core(table, xb, dr, config))(
+                    xbs, dirs), axis=0)
         # mixdown: psum over source shards only — inputs are replicated
         # along "blk", so its replicas already hold identical values.
-        return jax.lax.psum(jnp.sum(y, axis=0), "src")
+        return jax.lax.psum(y, "src")
 
     return fn(table, xbs, dirs)
 
