@@ -223,17 +223,18 @@ def test_fft_pack_matrix_parity(table, rng):
                     axis=1)
     xs = rng.standard_normal((3, 5 * 256))
     sdirs = np.stack([rng.uniform(0, 360, 3), rng.uniform(-40, 90, 3)], axis=1)
-    for pack in ("off", "fwd", "both"):
+    for pack, impl in (("off", "xla"), ("fwd", "xla"), ("both", "xla"),
+                       ("both", "matmul")):
         for crossfade in (True, False):
             cfg = RenderConfig(block_size=256, fft_pack=pack,
-                               crossfade=crossfade)
+                               fft_impl=impl, crossfade=crossfade)
             r = BinauralRenderer(table, cfg)
             y = np.asarray(r.render_trajectory(x, dirs))
             ref = golden.render_trajectory(table, x, dirs, cfg)
-            assert snr_db(ref, y) > 60, (pack, crossfade, "traj")
+            assert snr_db(ref, y) > 60, (pack, impl, crossfade, "traj")
             y = np.asarray(r.render(x, 33.0, 12.0))
             ref = golden.render_static(table, x, 33.0, 12.0, cfg)
-            assert snr_db(ref, y) > 60, (pack, crossfade, "static")
+            assert snr_db(ref, y) > 60, (pack, impl, crossfade, "static")
             y = np.asarray(r.render_scene(xs, sdirs))
             ref = golden.render_scene(table, xs, sdirs, cfg)
-            assert snr_db(ref, y) > 60, (pack, crossfade, "scene")
+            assert snr_db(ref, y) > 60, (pack, impl, crossfade, "scene")
