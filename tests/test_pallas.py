@@ -188,3 +188,43 @@ def test_kernel_vmem_gate_falls_back_for_long_filters(rng):
     yb = np.asarray(s.push(xb, 45.0, 0.0))
     refb = gold.push(xb.astype(np.float64), 45.0, 0.0)
     assert snr_db(refb, yb) > 60
+
+
+def test_fused_kernels_at_other_tap_counts(rng):
+    """taps=256 gives FL=257 → different lane padding (FLp=384) than the
+    standard fixture's 128 taps — both fused kernels must stay correct
+    (interpret mode)."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models import Stream
+
+    t256 = load_hrir_set("synthetic", taps=256)
+    cfg = RenderConfig(block_size=512, stream_block=512, use_pallas=True,
+                       pallas_interpret=True)
+    x = rng.standard_normal(4 * 512)
+    dirs = np.stack([np.linspace(0, 120, 4), np.linspace(-20, 40, 4)], axis=1)
+    y = np.asarray(BinauralRenderer(t256, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(t256, x, dirs, RenderConfig(block_size=512))
+    assert snr_db(ref, y) > 60
+
+    s = Stream(t256, cfg)
+    gold = golden.GoldenStream(t256, RenderConfig(stream_block=512))
+    for i in range(2):
+        xb = rng.standard_normal(512).astype(np.float32)
+        yb = np.asarray(s.push(xb, 30.0 + 60 * i, 5.0))
+        refb = gold.push(xb.astype(np.float64), 30.0 + 60 * i, 5.0)
+        assert snr_db(refb, yb) > 60, i
+
+
+def test_render_batch_through_kernel(table, rng):
+    """render_batch (independent renders, batched epilogue) through the
+    fused kernel matches per-source golden trajectories."""
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    r = BinauralRenderer(table, cfg)
+    xs = rng.standard_normal((3, 1024))
+    dirs = np.stack([rng.uniform(0, 360, (3, 4)),
+                     rng.uniform(-40, 90, (3, 4))], axis=2)
+    yb = np.asarray(r.render_batch(xs, dirs))
+    for k in range(3):
+        ref = golden.render_trajectory(table, xs[k], dirs[k],
+                                       RenderConfig(block_size=256))
+        assert snr_db(ref, yb[k]) > 60, k
