@@ -51,38 +51,12 @@ def _fence(y) -> float:
 
 
 def _marginal(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
-    """Marginal pipelined seconds per call (see module docstring).
+    """Marginal pipelined seconds per call — the shared tunnel-safe
+    estimator (positive-median with a conservative fallback); see
+    tinaural.utils.profiling.marginal_cost for the full rationale."""
+    from tinaural.utils.profiling import marginal_cost
 
-    Median over the POSITIVE paired estimates — the tunnel's jitter can
-    make individual (t2−t1)/(k2−k1) estimates negative (a later batch
-    completing "faster" than an earlier shorter one), and a clamped
-    near-zero median would report absurd throughput. If jitter drowns
-    every estimate, fall back to the conservative upper bound t(k2)/k2
-    (includes one fence RTT, so it understates performance, never
-    inflates it).
-    """
-
-    def batch(k):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(k):
-            y = call()
-        _fence(y)
-        return time.perf_counter() - t0
-
-    batch(1)  # compile + warm
-    batch(1)
-    ests = []
-    t2s = []
-    for _ in range(reps):
-        t1 = batch(k1)
-        t2 = batch(k2)
-        ests.append((t2 - t1) / (k2 - k1))
-        t2s.append(t2)
-    pos = [e for e in ests if e > 0]
-    if len(pos) >= 2:
-        return float(np.median(pos))
-    return float(min(t2s)) / k2
+    return marginal_cost(call, k1=k1, k2=k2, reps=reps)
 
 
 def _oneshot(call) -> float:

@@ -28,17 +28,10 @@ NB = N // B
 SR = 44100
 
 
-def marginal(call, k1=2, k2=12):
-    def batch(k):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(k):
-            y = call()
-        float(np.asarray(y[0, -1]))
-        return time.perf_counter() - t0
+def marginal(call, k1=2, k2=12, reps=3):
+    from tinaural.utils.profiling import marginal_cost
 
-    t1, t2 = batch(k1), batch(k2)
-    return (t2 - t1) / (k2 - k1)
+    return marginal_cost(call, k1=k1, k2=k2, reps=reps)
 
 
 def main():

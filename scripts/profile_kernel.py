@@ -31,22 +31,9 @@ CFG = RenderConfig(block_size=B)
 
 
 def marginal(call, k1=2, k2=12, reps=3):
-    def batch(k):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(k):
-            y = call()
-        arr = np.asarray(jnp.real(y) if jnp.iscomplexobj(y) else y)
-        float(arr.reshape(-1)[-1])
-        return time.perf_counter() - t0
+    from tinaural.utils.profiling import marginal_cost
 
-    batch(1)
-    batch(1)
-    ests = []
-    for _ in range(reps):
-        t1, t2 = batch(k1), batch(k2)
-        ests.append((t2 - t1) / (k2 - k1))
-    return float(np.median(ests))
+    return marginal_cost(call, k1=k1, k2=k2, reps=reps)
 
 
 def main():
@@ -72,11 +59,16 @@ def main():
         Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)
         return Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
 
+    @jax.jit
+    def ref_scalar(h, d, g, Xu, Xd):
+        Y = ref_fn(h, d, g, Xu, Xd)
+        return jnp.sum(jnp.real(Y)) + jnp.sum(jnp.imag(Y))
+
     ref = ref_fn(h, d, g, Xu, Xd)
     rr = np.asarray(jnp.real(ref), np.float64)
     ri = np.asarray(jnp.imag(ref), np.float64)
     e_ref = (rr**2 + ri**2).sum()
-    t_ref = marginal(lambda: ref_fn(h, d, g, Xu, Xd))
+    t_ref = marginal(lambda: ref_scalar(h, d, g, Xu, Xd))
     print(f"xla_chain(HIGHEST)   {t_ref*1e3:8.3f} ms", flush=True)
 
     from tinaural.ops.ola import overlap_add
@@ -109,7 +101,11 @@ def main():
         yr = np.asarray(jnp.real(Y), np.float64)
         yi = np.asarray(jnp.imag(Y), np.float64)
         snr = 10 * np.log10(e_ref / ((rr - yr)**2 + (ri - yi)**2).sum())
-        t = marginal(call)
+        scal = jax.jit(lambda h, d, g, Xu, Xd, pp=p: (lambda Y: jnp.sum(
+            jnp.real(Y)) + jnp.sum(jnp.imag(Y)))(fused_assembly_mac(
+                h, d, g, Xu, Xd, first, taps, n_fft, crossfade=True,
+                precision=pp)))
+        t = marginal(lambda: scal(h, d, g, Xu, Xd))
         print(f"kernel {prec:8s}      {t*1e3:8.3f} ms   vs xla {snr:6.1f} dB",
               flush=True)
 

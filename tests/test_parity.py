@@ -224,7 +224,7 @@ def test_fft_pack_matrix_parity(table, rng):
     xs = rng.standard_normal((3, 5 * 256))
     sdirs = np.stack([rng.uniform(0, 360, 3), rng.uniform(-40, 90, 3)], axis=1)
     for pack, impl in (("off", "xla"), ("fwd", "xla"), ("both", "xla"),
-                       ("both", "matmul")):
+                       ("fwd", "matmul"), ("both", "matmul")):
         for crossfade in (True, False):
             cfg = RenderConfig(block_size=256, fft_pack=pack,
                                fft_impl=impl, crossfade=crossfade)

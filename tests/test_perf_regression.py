@@ -29,9 +29,12 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run_group(name: str) -> dict:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}  # conftest pins CPU
     out = subprocess.run(
         [sys.executable, "bench.py", "--workload", name],
-        capture_output=True, text=True, timeout=1700, cwd="/root/repo")
+        capture_output=True, text=True, timeout=1700, cwd="/root/repo",
+        env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -71,9 +74,12 @@ def test_pallas_kernel_parity_on_chip():
     interpret-mode CI test) must agree with the jnp chain on real
     hardware — Mosaic tiling/precision assumptions get a gate. Runs in a
     subprocess because conftest pins the test process itself to CPU."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}  # conftest pins CPU
     out = subprocess.run(
         [sys.executable, "scripts/check_kernel_parity.py"],
-        capture_output=True, text=True, timeout=1200, cwd="/root/repo")
+        capture_output=True, text=True, timeout=1200, cwd="/root/repo",
+        env=env)
     res = None
     for line in reversed(out.stdout.strip().splitlines()):
         try:

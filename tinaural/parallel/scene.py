@@ -19,7 +19,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.renderer import (_irfft_ears, _trajectory_core,
+from ..models.renderer import (_chunked_sources, _irfft_ears,
+                               _trajectory_core,
                                _trajectory_spectra_batched,
                                _use_fused_kernel, next_pow2)
 from ..ops.filters import DELAY_PAD
@@ -41,13 +42,22 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh):
     )
     def fn(table, xbs, dirs):
         if fused:
-            # One flattened kernel launch for the shard's sources (no
-            # vmap-of-pallas), frequency-domain local mixdown, ONE
-            # irfft+OLA epilogue per shard — same structure as the
-            # single-chip _scene_fn.
-            Y = jnp.sum(_trajectory_spectra_batched(table, xbs, dirs, config),
-                        axis=0)
-            y = overlap_add(_irfft_ears(Y, n_fft, config), xbs.shape[-1])
+            # Same structure as the single-chip _scene_fn: the shard's
+            # sources go scene_chunk at a time through one flattened
+            # kernel launch each (no vmap-of-pallas; unchunked spectra
+            # for a big shard would re-create the measured 40× blowup),
+            # frequency-domain local mixdown, one irfft+OLA per chunk.
+            xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+
+            def chunk(args):
+                xb, dr = args
+                Y = jnp.sum(
+                    _trajectory_spectra_batched(table, xb, dr, config),
+                    axis=0)
+                return overlap_add(_irfft_ears(Y, n_fft, config),
+                                   xbs.shape[-1])
+
+            y = jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
         else:
             y = jnp.sum(jax.vmap(
                 lambda xb, dr: _trajectory_core(table, xb, dr, config))(

@@ -70,3 +70,42 @@ def steady_state(fn, k: int = 16) -> float:
     fn(k)
     wk = time.perf_counter() - t0
     return max((wk - w1) / (k - 1), 1e-9)
+
+
+def marginal_cost(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
+    """Marginal pipelined seconds per call of ``call()``.
+
+    The tunnel-safe measurement recipe (docs/BENCH_NOTES.md "Measurement
+    reality"): time a batch of k1 calls and a batch of k2 calls, each
+    closed by one `fence`, and take (t2−t1)/(k2−k1) so the per-fence
+    round trip cancels. Medians only the POSITIVE paired estimates —
+    tunnel jitter can make individual estimates negative, and a clamped
+    near-zero median would report absurd throughput. Falls back to the
+    conservative upper bound t(k2)/k2 (includes one fence RTT: never
+    inflates performance) when jitter drowns every estimate.
+
+    ``call`` must return a device value (array or pytree); to keep XLA
+    from dead-code-eliminating the work, make it an output that depends
+    on the whole computation (e.g. the rendered block, or a scalar sum).
+    """
+
+    def batch(k):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(k):
+            y = call()
+        fence(y)
+        return time.perf_counter() - t0
+
+    batch(1)  # compile + warm
+    batch(1)
+    ests, t2s = [], []
+    for _ in range(reps):
+        t1 = batch(k1)
+        t2 = batch(k2)
+        ests.append((t2 - t1) / (k2 - k1))
+        t2s.append(t2)
+    pos = [e for e in ests if e > 0]
+    if len(pos) >= 2:
+        return float(np.median(pos))
+    return float(min(t2s)) / k2
