@@ -209,6 +209,7 @@ def w_stream() -> dict:
         _fence(s.push(xb, 30.0 + i, 0.0))
     per_rtt = (time.perf_counter() - t0) / 20
     # pipelined: state-chained pushes, one fence
+    fenced(10), fenced(50)  # discarded settle pair (cold-start bias)
     ests = [(fenced(50) - fenced(10)) / 40 for _ in range(3)]
     pos = [e for e in ests if e > 0]
     per_compute = (float(np.median(pos)) if len(pos) >= 2
@@ -234,6 +235,7 @@ def w_stream() -> dict:
         return time.perf_counter() - t0
 
     fenced_b(3)
+    fenced_b(4), fenced_b(16)  # discarded settle pair
     estsb = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
     posb = [e for e in estsb if e > 0]
     per_b = (float(np.median(posb)) if len(posb) >= 2

@@ -168,7 +168,10 @@ def _ramp_cos_sin(d, trig_ref):
     return jnp.cos(phase), jnp.sin(phase)
 
 
-_CHUNK = 64  # blocks per grid step → 128 (block, ear) rows per matmul
+# Blocks per grid step of the assembly kernel → 2×_CHUNK (block, ear)
+# rows per matmul. 64 measured ≈ 128 on v5e (interleaved A/B) and leaves
+# more VMEM headroom for longer filters, so 64 is the default.
+_CHUNK = 64
 
 
 def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
@@ -238,15 +241,16 @@ def _padded_assembly_mats(taps: int, n_fft: int):
 
 
 def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
-                         precision,
+                         precision, chunk: int,
                          h_ref, d_ref, g_ref, first_ref,
                          xu_re, xu_im, xd_re, xd_im,
                          m1_ref, mb_ref, ma_ref, trig_ref,
                          y_re, y_im, carry):
-    """One grid step: assemble 2*_CHUNK filter rows and MAC them against
+    """One grid step: assemble 2*chunk filter rows and MAC them against
     the chunk's input spectra. All refs are 2-D (rows laid out
     [ear0 x chunk; ear1 x chunk] by the wrapper) — 3-D blocks plus
     in-kernel reshapes measured as pure overhead on Mosaic."""
+    _CHUNK = chunk
     h = h_ref[...]          # (R, taps_p)
     d = d_ref[...]          # (R, 1)
     g = g_ref[...]
@@ -304,12 +308,13 @@ def assembly_mac_vmem_bytes(taps: int, n_fft: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("taps", "n_fft", "crossfade", "interpret",
-                          "precision"))
+                          "precision", "chunk"))
 def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
                        Xu: jax.Array, Xd: jax.Array, first: jax.Array,
                        taps: int, n_fft: int, crossfade: bool = True,
                        interpret: bool = False,
-                       precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                       precision=jax.lax.Precision.HIGHEST,
+                       chunk: int | None = None) -> jax.Array:
     """Filter assembly + crossfaded spectral MAC in one Pallas launch.
 
     h: (nb, 2, taps) gathered aligned shapes; d, g: (nb, 2) delays/gains;
@@ -320,6 +325,7 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
     Hc = filter_spectrum_mm(h, d, g) — same map, no HBM filter tensors.
     """
     nb = h.shape[0]
+    _CHUNK = chunk or globals()["_CHUNK"]
     M1p, MBp, MAp, trig, dims = _padded_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
 
@@ -359,7 +365,8 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
                                    memory_space=pltpu.VMEM)
 
     y_re, y_im = pl.pallas_call(
-        partial(_assembly_mac_kernel, crossfade, FLp, Fn, Fnp, precision),
+        partial(_assembly_mac_kernel, crossfade, FLp, Fn, Fnp, precision,
+                _CHUNK),
         grid=grid,
         in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK),
                   vec, vec, vec, vec,

@@ -99,6 +99,8 @@ def marginal_cost(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
 
     batch(1)  # compile + warm
     batch(1)
+    batch(k1)  # discarded settle pair: the first measurements in a fresh
+    batch(k2)  # process ran 20-40% cold (allocator/tunnel ramp, measured)
     ests, t2s = [], []
     for _ in range(reps):
         t1 = batch(k1)
