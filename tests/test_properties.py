@@ -162,3 +162,22 @@ def test_static_time_invariance(table, rng):
     ys = golden.render_static(table, xs, 120.0, -10.0, cfg)
     n = y.shape[1]
     assert snr_db(y, ys[:, D : D + n]) > 150
+
+
+def test_output_continuous_in_direction_at_crossing(table, rng):
+    """Output-level artifact net for the round-1 half-sample ITD bug
+    class: rendering broadband content on two paths 0.01° apart — pinned
+    to straddle the d_left = 23.5 half-sample crossing — must produce
+    nearly identical waveforms. The old round()+taper ramp measured a 29%
+    relative output change here (audible click class); the continuous
+    phase-blend ramp measures ~4%."""
+    cfg = RenderConfig(block_size=256)
+    x = rng.standard_normal(16 * 256)
+    nb = 16
+    dirs = np.stack([np.full(nb, 21.765), np.zeros(nb)], axis=1)
+    dirs2 = dirs.copy()
+    dirs2[:, 0] += 0.01
+    y1 = golden.render_trajectory(table, x, dirs, cfg)
+    y2 = golden.render_trajectory(table, x, dirs2, cfg)
+    rel = float(np.sqrt(((y1 - y2) ** 2).sum() / (y1 ** 2).sum()))
+    assert rel < 0.08, rel
