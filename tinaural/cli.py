@@ -44,6 +44,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fft-pack", choices=["off", "fwd", "both"],
                    default="both",
                    help="two-for-one real-FFT packing (same math)")
+    p.add_argument("--fft-impl", choices=["xla", "matmul"], default="xla",
+                   help="packed-FFT implementation (matmul = two-stage "
+                        "Cooley-Tukey on the MXU; same math)")
 
 
 def _config(args) -> RenderConfig:
@@ -55,6 +58,7 @@ def _config(args) -> RenderConfig:
         use_pallas=not getattr(args, "no_pallas", False),
         filter_path=getattr(args, "filter_path", "matmul"),
         fft_pack=getattr(args, "fft_pack", "both"),
+        fft_impl=getattr(args, "fft_impl", "xla"),
     )
 
 
