@@ -228,3 +228,31 @@ def test_render_batch_through_kernel(table, rng):
         ref = golden.render_trajectory(table, xs[k], dirs[k],
                                        RenderConfig(block_size=256))
         assert snr_db(ref, yb[k]) > 60, k
+
+
+def test_batched_stream_multi_chunk_grid(table, rng):
+    """A serving batch larger than the kernel's per-step chunk (64)
+    grids over stream chunks — every listener must still match an
+    independent golden stream (interpret mode; S=70 exercises chunk
+    boundary + padding)."""
+    from tinaural.models import BatchedStream
+
+    S = 70
+    cfg = RenderConfig(stream_block=256, use_pallas=True,
+                       pallas_interpret=True)
+    bs = BatchedStream(table, S, cfg)
+    azs = np.linspace(0, 355, S).astype(np.float32)
+    els = np.linspace(-30, 60, S).astype(np.float32)
+    golds = [golden.GoldenStream(table, RenderConfig(stream_block=256))
+             for _ in range(S)]
+    for step in range(2):
+        blocks = rng.standard_normal((S, 256)).astype(np.float32)
+        y = np.asarray(bs.push(blocks, azs + step, els))
+        for s in (0, 1, 63, 64, 69):  # spot-check across chunk boundaries
+            ref = golds[s].push(blocks[s].astype(np.float64),
+                                azs[s] + step, els[s])
+            assert snr_db(ref, y[s]) > 60, (step, s)
+        for s in range(S):  # keep every golden stream's state advancing
+            if s not in (0, 1, 63, 64, 69):
+                golds[s].push(blocks[s].astype(np.float64), azs[s] + step,
+                              els[s])

@@ -463,8 +463,9 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
                         h_ref, d_ref, g_ref,
                         m1_ref, m2_ref, trig_ref, dft_ref, di_ref,
                         y_out, nf_re, nf_im, nh_out):
-    """Whole-batch streaming step (gridless): Sp streams, 2·Sp filter rows
-    laid out [ear0 streams; ear1 streams]."""
+    """One grid step = Sp streams (2·Sp filter rows laid out
+    [ear0 streams; ear1 streams]); streams are independent, so the grid
+    carries no cross-step state and batch size is unbounded."""
     hp = precision
 
     frame = jnp.concatenate([prev_in[...], xb_ref[...]], axis=1)  # (Sp, 2B)
@@ -527,12 +528,13 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
 
 
 def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
-    """Rough VMEM footprint of the fused streaming step (constants +
-    working set) for the eligibility gate."""
+    """Rough VMEM footprint of the fused streaming step (constants + the
+    PER-GRID-STEP working set — the kernel grids over stream chunks, so
+    batch size itself is unbounded) for the eligibility gate."""
     M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
     L, FL, FLp, F2, F2p, P, taps_p = dims
     consts = (M1p.size + M2p.size + trig.size + DFTr.size + DI.size) * 4
-    Sp = _round_up(max(n_streams, 1), 8)
+    Sp = min(64, _round_up(max(n_streams, 1), 8))  # per-step chunk
     work = Sp * (2 * 2 * block + 2 * 2 * F2p + 4 * P * F2p
                  + 2 * (2 * FLp + taps_p)
                  + 6 * P * 2 * F2p + 12 * F2p + 4 * block) * 4
@@ -558,57 +560,82 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     S, B = xb.shape
     M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
     L, FL, FLp, F2, F2p, P, taps_p = dims
-    Sp = _round_up(max(S, 1), 8)
+    # Per-grid-step stream chunk: small batches stay compact, large ones
+    # tile at MXU-friendly row counts; memory per step is O(chunk), so
+    # the serving batch size is unbounded.
+    SC = min(64, _round_up(max(S, 1), 8))
+    Sp = _round_up(max(S, 1), SC)
     ps = Sp - S
+    nch = Sp // SC
 
-    def ear_rows(z, lanes):  # (S, 2, ...) → (2·Sp, lanes), ears stacked
-        z = jnp.pad(z, [(0, ps)] + [(0, 0)] * (z.ndim - 1))
-        z = jnp.moveaxis(z, 1, 0).reshape(2 * Sp, lanes)
-        return z
+    def pad_s(z):  # zero-pad the stream axis S → Sp
+        return jnp.pad(z, [(0, ps)] + [(0, 0)] * (z.ndim - 1))
 
-    hR = ear_rows(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)]), taps_p)
-    dR = ear_rows(d[..., None], 1)
-    gR = ear_rows(g[..., None], 1)
+    def ear_rows(z, lanes):  # (Sp, 2, lanes) → (2·Sp, lanes), chunk-major
+        z = z.reshape(nch, SC, 2, lanes).transpose(0, 2, 1, 3)
+        return z.reshape(2 * Sp, lanes)
+
+    hR = ear_rows(pad_s(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)])),
+                  taps_p)
+    dR = ear_rows(pad_s(d[..., None]), 1)
+    gR = ear_rows(pad_s(g[..., None]), 1)
 
     def fdl_lanes(z):  # (S, P, F2) → (Sp, P·F2p)
         z = jnp.pad(z, [(0, ps), (0, 0), (0, F2p - F2)])
         return z.reshape(Sp, P * F2p)
 
-    # prev_h (S, P, 2, F2) re/im → planes rows (2·Sp, P·2F2p)
+    # prev_h (S, P, 2, F2) re/im → chunk-major plane rows (2·Sp, P·2F2p)
     def ph_planes(zr, zi):
         zr = jnp.pad(zr, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
         zi = jnp.pad(zi, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
         z = jnp.stack([zr, zi], axis=-2)      # (Sp, P, 2ear, 2reim, F2p)
-        z = jnp.moveaxis(z, 2, 0)             # (2ear, Sp, P, 2reim, F2p)
-        return z.reshape(2 * Sp, P * 2 * F2p)
+        z = z.transpose(0, 2, 1, 3, 4)        # (Sp, 2ear, P, 2reim, F2p)
+        return ear_rows(z.reshape(Sp, 2, P * 2 * F2p), P * 2 * F2p)
 
     phR = ph_planes(ph_re, ph_im)
-    st = jnp.tile(jnp.pad(started.astype(jnp.float32), [(0, ps)]),
-                  2)[..., None]  # (2Sp, 1)
+    stS = jnp.pad(started.astype(jnp.float32), [(0, ps)])
+    st = ear_rows(jnp.stack([stS, stS], axis=1)[..., None], 1)  # (2·Sp, 1)
     xbP = jnp.pad(xb, [(0, ps), (0, 0)])
     pvP = jnp.pad(prev_in, [(0, ps), (0, 0)])
 
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row1 = lambda n: pl.BlockSpec((SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    row2 = lambda n: pl.BlockSpec((2 * SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    M1j, M2j = jnp.asarray(M1p), jnp.asarray(M2p)
+    trj, dfj, dij = jnp.asarray(trig), jnp.asarray(DFTr), jnp.asarray(DI)
     outs = pl.pallas_call(
-        partial(_stream_step_kernel, crossfade, Sp, block, FLp, F2p, P,
+        partial(_stream_step_kernel, crossfade, SC, block, FLp, F2p, P,
                 precision),
-        in_specs=[vm] * 14,
-        out_specs=(vm, vm, vm, vm),
+        grid=(nch,),
+        in_specs=[row1(block), row1(block),
+                  row1(P * F2p), row1(P * F2p),
+                  row2(P * 2 * F2p), row2(1),
+                  row2(taps_p), row2(1), row2(1),
+                  const(M1j), const(M2j), const(trj), const(dfj),
+                  const(dij)],
+        out_specs=(row2(block), row1(P * F2p), row1(P * F2p),
+                   row2(P * 2 * F2p)),
         out_shape=(jax.ShapeDtypeStruct((2 * Sp, block), jnp.float32),
                    jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
                    jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
                    jax.ShapeDtypeStruct((2 * Sp, P * 2 * F2p), jnp.float32)),
         interpret=interpret,
     )(pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, st,
-      hR, dR, gR, jnp.asarray(M1p), jnp.asarray(M2p), jnp.asarray(trig),
-      jnp.asarray(DFTr), jnp.asarray(DI))
+      hR, dR, gR, M1j, M2j, trj, dfj, dij)
 
     yR, nfr, nfi, nh = outs
-    y = jnp.moveaxis(yR.reshape(2, Sp, block), 0, 1)[:S]  # (S, 2, B)
+
+    def un_ear_rows(z):  # chunk-major (2·Sp, lanes) → (Sp, 2, lanes)
+        z = z.reshape(nch, 2, SC, -1).transpose(0, 2, 1, 3)
+        return z.reshape(Sp, 2, z.shape[-1])
+
+    y = un_ear_rows(yR)[:S]  # (S, 2, B)
     fdl_re2 = nfr.reshape(Sp, P, F2p)[:S, :, :F2]
     fdl_im2 = nfi.reshape(Sp, P, F2p)[:S, :, :F2]
-    nh = nh.reshape(2, Sp, P, 2, F2p)  # (ear, Sp, P, reim, F2p)
-    nh = jnp.moveaxis(nh, 0, 3)        # (Sp, P, reim, ear, F2p)
-    ph_re2 = nh[:S, :, 0, :, :F2]
-    ph_im2 = nh[:S, :, 1, :, :F2]
+    nh = un_ear_rows(nh).reshape(Sp, 2, P, 2, F2p)  # (Sp, ear, P, reim, F2p)
+    ph_re2 = nh[:S, :, :, 0].transpose(0, 2, 1, 3)[..., :F2]  # (S, P, 2, F2)
+    ph_im2 = nh[:S, :, :, 1].transpose(0, 2, 1, 3)[..., :F2]
     return y, fdl_re2, fdl_im2, ph_re2, ph_im2
