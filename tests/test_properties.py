@@ -181,3 +181,36 @@ def test_output_continuous_in_direction_at_crossing(table, rng):
     y2 = golden.render_trajectory(table, x, dirs2, cfg)
     rel = float(np.sqrt(((y1 - y2) ** 2).sum() / (y1 ** 2).sum()))
     assert rel < 0.08, rel
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n_rings=st.integers(2, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_parity_on_random_grid_geometries(n_rings, seed):
+    """TPU-path parity holds on arbitrary grid geometries, not just the
+    KEMAR fixture: random ring elevations, ragged azimuth counts
+    (including count-1 rings), random HRIR content."""
+    from tinaural.data import build_table
+    from tinaural.data.grids import SphericalGrid
+
+    rng_ = np.random.default_rng(seed)
+    elevs = np.sort(rng_.uniform(-80, 85, n_rings))
+    while np.min(np.diff(elevs)) < 2.0 if n_rings > 1 else False:
+        elevs = np.sort(rng_.uniform(-80, 85, n_rings))
+    counts = rng_.integers(1, 24, n_rings)
+    grid = SphericalGrid(elevs=elevs.astype(np.float64),
+                         az_counts=counts.astype(np.int64))
+    taps = 64
+    h = rng_.standard_normal((n_rings, grid.a_max, 2, taps)) * 0.1
+    h *= grid.validity_mask()[..., None, None]
+    table = build_table(h, grid, 44100, decompose=True)
+
+    cfg = RenderConfig(block_size=256)
+    x = rng_.standard_normal(4 * 256)
+    dirs = np.stack([rng_.uniform(0, 360, 4),
+                     rng_.uniform(-90, 95, 4)], axis=1)  # clamps at edges
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert snr_db(ref, y) > 60
