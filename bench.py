@@ -178,6 +178,29 @@ def w_static() -> dict:
             "direct_fft_audio_sec_per_sec": (N / SR) / per_direct}
 
 
+def w_brir() -> dict:
+    """BRIR-length moving render: 2048-tap filters, P=9 partition scan —
+    the workload the whole-filter block path cannot touch (frame stays
+    2·stream_block regardless of filter length)."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _partitioned_fn
+
+    cfg = RenderConfig(stream_block=256)
+    r = BinauralRenderer(load_hrir_set("synthetic", taps=2048), cfg)
+    rng = np.random.default_rng(6)
+    N = 1 << 17
+    nb = N // 256
+    xb = jax.device_put(rng.standard_normal((nb, 256)).astype(np.float32))
+    dirs = jax.device_put(
+        np.stack([np.linspace(0, 350, nb) % 360,
+                  20 * np.sin(np.linspace(0, 9, nb))], axis=1).astype(np.float32))
+    per = _marginal(lambda: _partitioned_fn(r.table, xb, dirs, cfg), 1, 5)
+    return {"audio_sec_per_sec": (N / SR) / per}
+
+
 def w_stream() -> dict:
     """Streaming push cost (block 256 ≈ 5.8 ms of audio).
 
@@ -284,7 +307,7 @@ GROUPS = {
         ("scene", w_scene),
         ("scene_moving", w_scene_moving),
     ],
-    "static_group": [("static", w_static)],
+    "static_group": [("static", w_static), ("brir", w_brir)],
     "stream_group": [("stream", w_stream)],
 }
 
@@ -333,6 +356,7 @@ def main() -> None:
         "1src_trajectory_xla_fallback": get("traj_xla", "audio_sec_per_sec"),
         "1src_static": get("static", "audio_sec_per_sec"),
         "1src_static_direct_fft": get("static", "direct_fft_audio_sec_per_sec"),
+        "brir2048_moving": get("brir", "audio_sec_per_sec"),
         "64src_static_scene_aggregate": get("scene", "aggregate_audio_sec_per_sec"),
         "64src_moving_scene_aggregate": get("scene_moving",
                                             "aggregate_audio_sec_per_sec"),

@@ -1,0 +1,99 @@
+"""Stream-sharded real-time serving (multi-chip BatchedStream).
+
+Streams are embarrassingly parallel — per-listener state never crosses
+listeners — so pod-scale serving shards the batched streaming step over
+the mesh's ``"src"`` axis with NO collectives at all: each device
+advances its slice of the listeners (through the fused streaming-step
+kernel on TPU backends) and keeps its slice of the state resident. This
+is the missing third leg of the sharding layer next to the psum scene
+mixdown and the ppermute OLA halo (SURVEY.md §5): production serving
+scales by adding chips, and checkpoint/resume keeps working because the
+state stays the public `StreamState` pytree, just sharded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..data.table import HrirTable
+from ..models.streaming import init_state, _batch_step_fn
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_step_fn(table, state, xbs, azs, els, config, mesh):
+    spec = P("src")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def step(table, state, xbs, azs, els):
+        return _batch_step_fn(table, state, xbs, azs, els, config)
+
+    return step(table, state, xbs, azs, els)
+
+
+class ShardedBatchedStream:
+    """S independent low-latency streams sharded over the mesh's ``src``
+    axis — one collective-free device step per audio block, every chip
+    serving its own slice of the listeners.
+
+    >>> mesh = make_mesh((n_chips, 1))
+    >>> svc = ShardedBatchedStream(table, n_streams=256, mesh=mesh)
+    >>> stereo = svc.push(blocks, azs, els)   # (256, B) → (256, 2, B)
+
+    ``n_streams`` must divide evenly over the shard count (pad the batch
+    with silent listeners if needed — their state is independent, so
+    padding is exact).
+    """
+
+    def __init__(self, table: HrirTable, n_streams: int, mesh: Mesh,
+                 config: RenderConfig = DEFAULT_CONFIG):
+        shards = mesh.shape["src"]
+        if n_streams % shards != 0:
+            raise ValueError(
+                f"n_streams ({n_streams}) must be a multiple of the mesh's "
+                f"src shards ({shards}); pad with silent listeners")
+        self.config = config
+        self.n_streams = n_streams
+        self.mesh = mesh
+        self.table = jax.device_put(table)
+        self._state = jax.vmap(lambda _: init_state(table, config))(
+            jnp.arange(n_streams))
+
+    @property
+    def state(self):
+        """Checkpointable per-listener state pytree (leading S axis)."""
+        return self._state
+
+    @state.setter
+    def state(self, value) -> None:
+        self._state = jax.device_put(value)
+
+    def push(self, blocks, azs, els) -> jax.Array:
+        """blocks: (S, B); azs, els: (S,) → (S, 2, B)."""
+        B = self.config.stream_block
+        if not isinstance(blocks, jax.Array):
+            blocks = jnp.asarray(np.asarray(blocks, dtype=np.float32))
+        elif blocks.dtype != jnp.float32:
+            blocks = blocks.astype(jnp.float32)
+        if blocks.shape != (self.n_streams, B):
+            raise ValueError(
+                f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
+        if not isinstance(azs, jax.Array):
+            azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
+        if not isinstance(els, jax.Array):
+            els = jnp.asarray(np.asarray(els, dtype=np.float32))
+        self._state, y = _sharded_step_fn(self.table, self._state, blocks,
+                                          azs, els, self.config, self.mesh)
+        return y
