@@ -255,16 +255,17 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     """
     from ..ops.filters import filter_partitions
     from ..ops.partitioned import (frame_spectra, overlap_save_tail,
-                                   partitioned_mac, shifted_stack)
+                                   partitioned_mac, shifted_stack, tail_pair)
 
     taps = table.h.shape[-1]
     nb, B = xb.shape
     P = -(-(taps + DELAY_PAD) // B)
 
     use_mm = config.filter_path != "fft"
+    pack = config.fft_pack != "off"
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
-    X = frame_spectra(xb)  # (nb, F)
+    X = frame_spectra(xb, pack=pack)  # (nb, F)
 
     if P > 8:
         # Long-BRIR regime: materialising all (nb, P, 2, F) partitions and
@@ -285,12 +286,15 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
             Yp = partitioned_mac(Xs, Hprev)
 
     if config.crossfade:
-        yn = overlap_save_tail(Yn, B)
-        yp = overlap_save_tail(Yp, B)
+        if config.fft_pack == "both":
+            yn, yp = tail_pair(Yn, Yp, B)  # 2 packed iffts, not 4 real
+        else:
+            yn = overlap_save_tail(Yn, B)
+            yp = overlap_save_tail(Yp, B)
         w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
         y = w * yn + (1.0 - w) * yp
     else:
-        y = overlap_save_tail(Yn, B)
+        y = overlap_save_tail(Yn, B, pack=config.fft_pack == "both")
     return jnp.moveaxis(y, 1, 0).reshape(2, nb * B)
 
 

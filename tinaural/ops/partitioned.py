@@ -17,14 +17,38 @@ import jax
 import jax.numpy as jnp
 
 
-def frame_spectra(xb: jax.Array) -> jax.Array:
+def frame_spectra(xb: jax.Array, pack: bool = False) -> jax.Array:
     """Blocks (nb, B) → 50%-overlap-save frame spectra (nb, B+1).
 
     Frame b = [block b−1 | block b] (block −1 = silence), rfft at 2B.
+    With ``pack``, consecutive frames share one complex fft (two-for-one
+    packing over the batch axis — exact to f32 rounding).
     """
     nb, B = xb.shape
     prev = jnp.concatenate([jnp.zeros((1, B), xb.dtype), xb[:-1]], axis=0)
-    return jnp.fft.rfft(jnp.concatenate([prev, xb], axis=-1), axis=-1)
+    frames = jnp.concatenate([prev, xb], axis=-1)  # (nb, 2B)
+    if not pack:
+        return jnp.fft.rfft(frames, axis=-1)
+    from .fftpack import rfft_pair
+
+    nbp = nb + (nb % 2)
+    fr = jnp.pad(frames, ((0, nbp - nb), (0, 0)))
+    A, Bs = rfft_pair(fr[0::2], fr[1::2], 2 * B)  # (nbp/2, F) each
+    X = jnp.stack([A, Bs], axis=1).reshape(nbp, B + 1)
+    return X[:nb]
+
+
+def tail_pair(Yn: jax.Array, Yp: jax.Array, B: int):
+    """Packed overlap-save tails for a crossfade pair: the current- and
+    previous-filter spectra of each ear share one complex ifft.
+    Yn, Yp: (nb, 2, F) → two (nb, 2, B) time tails."""
+    from .fftpack import irfft_pair
+
+    yn0, yp0 = irfft_pair(Yn[:, 0], Yp[:, 0], 2 * B)
+    yn1, yp1 = irfft_pair(Yn[:, 1], Yp[:, 1], 2 * B)
+    yn = jnp.stack([yn0[..., B:], yn1[..., B:]], axis=1)
+    yp = jnp.stack([yp0[..., B:], yp1[..., B:]], axis=1)
+    return yn, yp
 
 
 def shifted_stack(X: jax.Array, P: int) -> jax.Array:
@@ -43,7 +67,13 @@ def partitioned_mac(Xs: jax.Array, H: jax.Array) -> jax.Array:
     return jnp.einsum("pbf,bpef->bef", Xs, H)
 
 
-def overlap_save_tail(Y: jax.Array, B: int) -> jax.Array:
+def overlap_save_tail(Y: jax.Array, B: int, pack: bool = False) -> jax.Array:
     """(nb, 2, F) spectra → valid output blocks (nb, 2, B) (last B of each
-    2B frame) → callers reshape to (2, nb·B)."""
+    2B frame) → callers reshape to (2, nb·B). With ``pack`` the two ears
+    share one complex ifft."""
+    if pack:
+        from .fftpack import irfft_pair
+
+        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], 2 * B)
+        return jnp.stack([y0[..., B:], y1[..., B:]], axis=1)
     return jnp.fft.irfft(Y, n=2 * B, axis=-1)[..., B:]
