@@ -133,13 +133,25 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         Hp = jnp.where(state.started > 0.5, prev_H, H)
         Yn = jnp.einsum("pf,pef->ef", fdl, H)
         Yp = jnp.einsum("pf,pef->ef", fdl, Hp)
-        yn = jnp.fft.irfft(Yn, n=2 * B, axis=-1)[:, B:]
-        yp = jnp.fft.irfft(Yp, n=2 * B, axis=-1)[:, B:]
+        if config.fft_pack == "both":
+            from ..ops.fftpack import irfft_pair
+
+            ynf, ypf = irfft_pair(Yn, Yp, 2 * B)  # ONE complex ifft for 4
+            yn, yp = ynf[:, B:], ypf[:, B:]
+        else:
+            yn = jnp.fft.irfft(Yn, n=2 * B, axis=-1)[:, B:]
+            yp = jnp.fft.irfft(Yp, n=2 * B, axis=-1)[:, B:]
         w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
         y = w * yn + (1.0 - w) * yp
     else:
         Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
-        y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # overlap-save tail
+        if config.fft_pack == "both":
+            from ..ops.fftpack import irfft_pair
+
+            y0, y1 = irfft_pair(Y[0], Y[1], 2 * B)
+            y = jnp.stack([y0[B:], y1[B:]], axis=0)
+        else:
+            y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # OLS tail
     return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
                        prev_h_re=H.real, prev_h_im=H.imag,
                        started=jnp.ones((), dtype=jnp.float32)), y
