@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..ops.filters import (DELAY_PAD, effective_filter, filter_spectrum_hybrid,
                           filter_spectrum_mm, next_pow2)
-from ..ops.fftpack import rfft_pair
+from ..ops.fftpack import rfft_pair, rfft_rows
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
 
@@ -215,7 +215,8 @@ def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     h, d, g = interpolate(table, dir2[0], dir2[1], config)
     H = _filter_spectra(h, d, g, taps, n_fft, config)  # (2, F)
-    return jnp.fft.rfft(xb, n=n_fft)[:, None, :] * H[None]
+    X = rfft_rows(xb, n_fft, pack=config.fft_pack != "off")
+    return X[:, None, :] * H[None]
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -68,3 +68,17 @@ def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
         return fft_planes(jnp.real(Z), jnp.imag(Z), n, inverse=True)
     z = jnp.fft.ifft(Z, n=n, axis=-1)
     return jnp.real(z), jnp.imag(z)
+
+
+def rfft_rows(x: jax.Array, n: int, pack: bool = True) -> jax.Array:
+    """Batched rfft of real rows with two-for-one packing over the batch
+    axis: consecutive rows share one complex fft. x: (nb, m≤n) →
+    (nb, n//2+1) complex64. Exact to f32 rounding."""
+    if not pack:
+        return jnp.fft.rfft(x, n=n, axis=-1)
+    nb = x.shape[0]
+    nbp = nb + (nb % 2)
+    xp = jnp.pad(x, ((0, nbp - nb), (0, 0)))
+    A, B = rfft_pair(xp[0::2], xp[1::2], n)
+    X = jnp.stack([A, B], axis=1).reshape(nbp, n // 2 + 1)
+    return X[:nb]
