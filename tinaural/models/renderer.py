@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..ops.filters import (DELAY_PAD, effective_filter, filter_spectrum_hybrid,
                           filter_spectrum_mm, next_pow2)
-from ..ops.fftpack import rfft_pair, rfft_rows
+from ..ops.fftpack import irfft_pair, rfft_pair, rfft_rows
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
 
@@ -54,8 +54,6 @@ def _irfft_ears(Y: jax.Array, n_fft: int, config: RenderConfig) -> jax.Array:
     (tinaural.ops.fftpack) — half the inverse-FFT cost of a batched
     irfft, which profiling showed dominating the block renderers."""
     if config.fft_pack == "both":
-        from ..ops.fftpack import irfft_pair
-
         y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], n_fft, impl=config.fft_impl)
         return jnp.stack([y0, y1], axis=0)
     return jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), 0, 1)
@@ -106,32 +104,23 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
 
-    with jax.named_scope("hrtf_gather"):
-        h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
-            dirs[:, 0], dirs[:, 1])
-
     if _use_fused_kernel(config, taps, n_fft):
         # Fused Pallas path (default): filter assembly + crossfaded MAC in
         # one launch; the (nb, 2, F) filter spectra never touch HBM.
-        from ..ops.pallas_kernels import fused_assembly_mac
-
-        if config.crossfade:
-            Xu, Xd = _rfft_updown(xb, B, n_fft, config)
-        else:
-            Xu = jnp.fft.rfft(xb, n=n_fft)
-            Xd = Xu
-        first = jnp.zeros((xb.shape[0],), jnp.float32).at[0].set(1.0)
-        Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
-                               crossfade=config.crossfade,
-                               interpret=config.pallas_interpret)
+        Y = _trajectory_spectra_batched(table, xb[None], dirs[None],
+                                        config)[0]
     else:
+        with jax.named_scope("hrtf_gather"):
+            h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+                dirs[:, 0], dirs[:, 1])
         Hc = _filter_spectra(h, d, g, taps, n_fft, config)  # (nb, 2, F)
         if config.crossfade:
             Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)  # prev filter
             Xu, Xd = _rfft_updown(xb, B, n_fft, config)
             Y = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
         else:
-            Y = jnp.fft.rfft(xb, n=n_fft)[:, None, :] * Hc
+            X = rfft_rows(xb, n_fft, pack=config.fft_pack != "off")
+            Y = X[:, None, :] * Hc
     with jax.named_scope("irfft_ola"):
         return overlap_add(_irfft_ears(Y, n_fft, config), B)  # (2, out)
 
@@ -169,7 +158,7 @@ def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
     if config.crossfade:
         Xu, Xd = _rfft_updown(xf, B, n_fft, config)
     else:
-        Xu = jnp.fft.rfft(xf, n=n_fft)
+        Xu = rfft_rows(xf, n_fft, pack=config.fft_pack != "off")
         Xd = Xu
     first = jnp.tile(
         jnp.zeros((nb,), jnp.float32).at[0].set(1.0), S)

@@ -29,6 +29,14 @@ from ..ops.filters import DELAY_PAD, filter_partitions
 from ..ops.interp import interpolate
 
 
+def _as_f32(x) -> jax.Array:
+    """Coerce push inputs to f32: zero-copy (on-device cast) for jax
+    arrays, host conversion otherwise."""
+    if not isinstance(x, jax.Array):
+        return jnp.asarray(np.asarray(x, dtype=np.float32))
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+
 class StreamState(NamedTuple):
     """Carried streaming state: previous input block (B,) f32, the FDL of
     the last P input-frame spectra, the previous filter partitions (for
@@ -227,21 +235,10 @@ class BatchedStream:
         round trip per block.
         """
         B = self.config.stream_block
-        if not isinstance(blocks, jax.Array):
-            blocks = jnp.asarray(np.asarray(blocks, dtype=np.float32))
-        elif blocks.dtype != jnp.float32:
-            blocks = blocks.astype(jnp.float32)  # on-device cast, no copy back
+        blocks, azs, els = _as_f32(blocks), _as_f32(azs), _as_f32(els)
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
-        if not isinstance(azs, jax.Array):
-            azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
-        elif azs.dtype != jnp.float32:
-            azs = azs.astype(jnp.float32)
-        if not isinstance(els, jax.Array):
-            els = jnp.asarray(np.asarray(els, dtype=np.float32))
-        elif els.dtype != jnp.float32:
-            els = els.astype(jnp.float32)
         self._state, y = _batch_step_fn(self.table, self._state, blocks,
                                         azs, els, self.config)
         return y
@@ -278,10 +275,7 @@ class Stream:
     def push(self, block, az: float, el: float) -> jax.Array:
         """Feed one mono block (B,) at the current head-relative direction
         → one stereo block (2, B)."""
-        if not isinstance(block, jax.Array):
-            block = jnp.asarray(np.asarray(block, dtype=np.float32))
-        elif block.dtype != jnp.float32:
-            block = block.astype(jnp.float32)  # on-device cast
+        block = _as_f32(block)
         if block.shape != (self.block_size,):
             raise ValueError(
                 f"block must be ({self.block_size},), got {block.shape}")

@@ -168,10 +168,10 @@ def _ramp_cos_sin(d, trig_ref):
     return jnp.cos(phase), jnp.sin(phase)
 
 
-# Blocks per grid step of the assembly kernel → 2×_CHUNK (block, ear)
+# Blocks per grid step of the assembly kernel → 2× this many (block, ear)
 # rows per matmul. 64 measured ≈ 128 on v5e (interleaved A/B) and leaves
 # more VMEM headroom for longer filters, so 64 is the default.
-_CHUNK = 64
+_DEFAULT_CHUNK = 64
 
 
 def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
@@ -302,7 +302,7 @@ def assembly_mac_vmem_bytes(taps: int, n_fft: int) -> int:
     _, _, _, _, (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p) = \
         _padded_assembly_mats(taps, n_fft)
     consts = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fnp) * 4
-    work = 2 * _CHUNK * (taps_p + 4 * FLp + Tp_p + 4 * Fnp + 2 * Fnp) * 4
+    work = 2 * _DEFAULT_CHUNK * (taps_p + 4 * FLp + Tp_p + 4 * Fnp + 2 * Fnp) * 4
     return consts + work + 8 * 2 * Fnp * 4
 
 
@@ -325,7 +325,7 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
     Hc = filter_spectrum_mm(h, d, g) — same map, no HBM filter tensors.
     """
     nb = h.shape[0]
-    _CHUNK = chunk or globals()["_CHUNK"]
+    _CHUNK = chunk if chunk is not None else _DEFAULT_CHUNK
     M1p, MBp, MAp, trig, dims = _padded_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
 

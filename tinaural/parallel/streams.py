@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.streaming import init_state, _batch_step_fn
+from ..models.streaming import _as_f32, _batch_step_fn, init_state
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -83,17 +83,10 @@ class ShardedBatchedStream:
     def push(self, blocks, azs, els) -> jax.Array:
         """blocks: (S, B); azs, els: (S,) → (S, 2, B)."""
         B = self.config.stream_block
-        if not isinstance(blocks, jax.Array):
-            blocks = jnp.asarray(np.asarray(blocks, dtype=np.float32))
-        elif blocks.dtype != jnp.float32:
-            blocks = blocks.astype(jnp.float32)
+        blocks, azs, els = _as_f32(blocks), _as_f32(azs), _as_f32(els)
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
-        if not isinstance(azs, jax.Array):
-            azs = jnp.asarray(np.asarray(azs, dtype=np.float32))
-        if not isinstance(els, jax.Array):
-            els = jnp.asarray(np.asarray(els, dtype=np.float32))
         self._state, y = _sharded_step_fn(self.table, self._state, blocks,
                                           azs, els, self.config, self.mesh)
         return y
