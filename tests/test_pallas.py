@@ -256,3 +256,17 @@ def test_batched_stream_multi_chunk_grid(table, rng):
             if s not in (0, 1, 63, 64, 69):
                 golds[s].push(blocks[s].astype(np.float64), azs[s] + step,
                               els[s])
+
+
+def test_fused_kernel_non_pow2_taps(rng):
+    """Non-power-of-two tap counts (taps=96 → T_pad=160, FL=129 at L=256)
+    exercise every padding branch of the fused block kernel."""
+    from tinaural.data import load_hrir_set
+
+    t96 = load_hrir_set("synthetic", taps=96)
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    x = rng.standard_normal(5 * 256)
+    dirs = np.stack([np.linspace(0, 300, 5), np.linspace(-20, 60, 5)], axis=1)
+    y = np.asarray(BinauralRenderer(t96, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(t96, x, dirs, RenderConfig(block_size=256))
+    assert snr_db(ref, y) > 60
