@@ -60,9 +60,13 @@ class RenderConfig:
         rffts AND the two ears' inverse, ``"fwd"`` only the forward
         pair, ``"off"`` uses plain rfft/irfft. Value-identical to f32
         rounding; a pure perf knob.
-      fft_impl: how the packed transforms are computed — ``"xla"``
-        (jnp.fft) or ``"matmul"`` (two-stage Cooley–Tukey as MXU
-        matmuls, tinaural.ops.mmfft; same math to f32 rounding).
+      fft_impl: how EVERY packed transform (forward pairs, packed rows,
+        frame spectra, overlap-save tails, the ears' inverses) is
+        computed — ``"xla"`` (jnp.fft) or ``"matmul"`` (two-stage
+        Cooley–Tukey as MXU matmuls, tinaural.ops.mmfft; same math to
+        f32 rounding; measured a TIE with XLA on v5e — an escape hatch,
+        not a win). Unpacked transforms (``fft_pack="off"``) always use
+        jnp.fft.
       pallas_interpret: run the Pallas kernel in interpreter mode (CPU
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear

@@ -214,10 +214,18 @@ def fractional_shift(h: np.ndarray, shift_samples: np.ndarray) -> np.ndarray:
 ALIGN_GUARD = 8.0
 
 
+# Samples of headroom the effective filter (golden.effective_filter and
+# every TPU mirror) appends past the raw tap count, absorbing the ITD
+# shift plus the fractional-delay kernel's tails. Defined HERE — the
+# bottom-most module of the import graph — and imported by
+# tinaural.ops.filters and tinaural.reference.golden so the three stay
+# one constant (round-2 advisor finding).
+DELAY_PAD = 64
+
 # Headroom the render path gives a (delay − ALIGN_GUARD) shift before
 # clipping: tinaural.ops.filters._clip_delay and golden.effective_filter
-# clip to DELAY_PAD − 16 = 48 samples. Must match golden.DELAY_PAD − 16.
-_MAX_RENDER_SHIFT = 48.0
+# clip to DELAY_PAD − 16 samples.
+_MAX_RENDER_SHIFT = DELAY_PAD - 16.0
 
 
 def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):

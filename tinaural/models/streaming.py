@@ -144,7 +144,8 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         if config.fft_pack == "both":
             from ..ops.fftpack import irfft_pair
 
-            ynf, ypf = irfft_pair(Yn, Yp, 2 * B)  # ONE complex ifft for 4
+            ynf, ypf = irfft_pair(Yn, Yp, 2 * B,
+                                  impl=config.fft_impl)  # ONE ifft for 4
             yn, yp = ynf[:, B:], ypf[:, B:]
         else:
             yn = jnp.fft.irfft(Yn, n=2 * B, axis=-1)[:, B:]
@@ -156,7 +157,7 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         if config.fft_pack == "both":
             from ..ops.fftpack import irfft_pair
 
-            y0, y1 = irfft_pair(Y[0], Y[1], 2 * B)
+            y0, y1 = irfft_pair(Y[0], Y[1], 2 * B, impl=config.fft_impl)
             y = jnp.stack([y0[B:], y1[B:]], axis=0)
         else:
             y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # OLS tail

@@ -70,7 +70,8 @@ def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
     return jnp.real(z), jnp.imag(z)
 
 
-def rfft_rows(x: jax.Array, n: int, pack: bool = True) -> jax.Array:
+def rfft_rows(x: jax.Array, n: int, pack: bool = True,
+              impl: str = "xla") -> jax.Array:
     """Batched rfft of real rows with two-for-one packing over the batch
     axis: consecutive rows share one complex fft. x: (nb, m≤n) →
     (nb, n//2+1) complex64. Exact to f32 rounding."""
@@ -79,6 +80,6 @@ def rfft_rows(x: jax.Array, n: int, pack: bool = True) -> jax.Array:
     nb = x.shape[0]
     nbp = nb + (nb % 2)
     xp = jnp.pad(x, ((0, nbp - nb), (0, 0)))
-    A, B = rfft_pair(xp[0::2], xp[1::2], n)
+    A, B = rfft_pair(xp[0::2], xp[1::2], n, impl=impl)
     X = jnp.stack([A, B], axis=1).reshape(nbp, n // 2 + 1)
     return X[:nb]

@@ -325,6 +325,11 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
     Hc = filter_spectrum_mm(h, d, g) — same map, no HBM filter tensors.
     """
     nb = h.shape[0]
+    # The kernel reads the VMEM carry scratch before any write on grid
+    # step 0; block 0 has no predecessor by construction, so force its
+    # first-flag rather than trusting every caller (round-2 advisor
+    # finding: a caller passing first[0]=0 would read uninitialized VMEM).
+    first = first.at[0].set(1.0)
     _CHUNK = chunk if chunk is not None else _DEFAULT_CHUNK
     M1p, MBp, MAp, trig, dims = _padded_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 
-def frame_spectra(xb: jax.Array, pack: bool = False) -> jax.Array:
+def frame_spectra(xb: jax.Array, pack: bool = False,
+                  impl: str = "xla") -> jax.Array:
     """Blocks (nb, B) → 50%-overlap-save frame spectra (nb, B+1).
 
     Frame b = [block b−1 | block b] (block −1 = silence), rfft at 2B.
@@ -33,19 +34,19 @@ def frame_spectra(xb: jax.Array, pack: bool = False) -> jax.Array:
 
     nbp = nb + (nb % 2)
     fr = jnp.pad(frames, ((0, nbp - nb), (0, 0)))
-    A, Bs = rfft_pair(fr[0::2], fr[1::2], 2 * B)  # (nbp/2, F) each
+    A, Bs = rfft_pair(fr[0::2], fr[1::2], 2 * B, impl=impl)  # (nbp/2, F)
     X = jnp.stack([A, Bs], axis=1).reshape(nbp, B + 1)
     return X[:nb]
 
 
-def tail_pair(Yn: jax.Array, Yp: jax.Array, B: int):
+def tail_pair(Yn: jax.Array, Yp: jax.Array, B: int, impl: str = "xla"):
     """Packed overlap-save tails for a crossfade pair: the current- and
     previous-filter spectra of each ear share one complex ifft.
     Yn, Yp: (nb, 2, F) → two (nb, 2, B) time tails."""
     from .fftpack import irfft_pair
 
-    yn0, yp0 = irfft_pair(Yn[:, 0], Yp[:, 0], 2 * B)
-    yn1, yp1 = irfft_pair(Yn[:, 1], Yp[:, 1], 2 * B)
+    yn0, yp0 = irfft_pair(Yn[:, 0], Yp[:, 0], 2 * B, impl=impl)
+    yn1, yp1 = irfft_pair(Yn[:, 1], Yp[:, 1], 2 * B, impl=impl)
     yn = jnp.stack([yn0[..., B:], yn1[..., B:]], axis=1)
     yp = jnp.stack([yp0[..., B:], yp1[..., B:]], axis=1)
     return yn, yp
@@ -67,13 +68,14 @@ def partitioned_mac(Xs: jax.Array, H: jax.Array) -> jax.Array:
     return jnp.einsum("pbf,bpef->bef", Xs, H)
 
 
-def overlap_save_tail(Y: jax.Array, B: int, pack: bool = False) -> jax.Array:
+def overlap_save_tail(Y: jax.Array, B: int, pack: bool = False,
+                      impl: str = "xla") -> jax.Array:
     """(nb, 2, F) spectra → valid output blocks (nb, 2, B) (last B of each
     2B frame) → callers reshape to (2, nb·B). With ``pack`` the two ears
     share one complex ifft."""
     if pack:
         from .fftpack import irfft_pair
 
-        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], 2 * B)
+        y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], 2 * B, impl=impl)
         return jnp.stack([y0[..., B:], y1[..., B:]], axis=1)
     return jnp.fft.irfft(Y, n=2 * B, axis=-1)[..., B:]

@@ -20,8 +20,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..models.renderer import (_chunked_sources, _irfft_ears,
-                               _trajectory_core,
                                _trajectory_spectra_batched,
+                               _trajectory_spectra_xla,
                                _use_fused_kernel, next_pow2)
 from ..ops.filters import DELAY_PAD
 from ..ops.ola import overlap_add
@@ -41,27 +41,29 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh):
         check_vma=False,
     )
     def fn(table, xbs, dirs):
-        if fused:
-            # Same structure as the single-chip _scene_fn: the shard's
-            # sources go scene_chunk at a time through one flattened
-            # kernel launch each (no vmap-of-pallas; unchunked spectra
-            # for a big shard would re-create the measured 40× blowup),
-            # frequency-domain local mixdown, one irfft+OLA per chunk.
-            xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+        # Same structure as the single-chip _scene_fn: the shard's sources
+        # go scene_chunk at a time (no vmap-of-pallas; unchunked spectra
+        # for a big shard would re-create the measured 40× blowup), chunk
+        # spectra mix down in the frequency domain into the scan carry,
+        # and the irfft+OLA epilogue runs ONCE per shard before the psum
+        # (epilogue-then-psum also halves ICI bytes vs psumming spectra).
+        xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
 
-            def chunk(args):
-                xb, dr = args
+        def chunk(acc, args):
+            xb, dr = args
+            if fused:
                 Y = jnp.sum(
                     _trajectory_spectra_batched(table, xb, dr, config),
                     axis=0)
-                return overlap_add(_irfft_ears(Y, n_fft, config),
-                                   xbs.shape[-1])
+            else:
+                Y = jnp.sum(jax.vmap(
+                    lambda b, d: _trajectory_spectra_xla(table, b, d, config))(
+                        xb, dr), axis=0)
+            return acc + Y, None
 
-            y = jnp.sum(jax.lax.map(chunk, (xc, dc)), axis=0)
-        else:
-            y = jnp.sum(jax.vmap(
-                lambda xb, dr: _trajectory_core(table, xb, dr, config))(
-                    xbs, dirs), axis=0)
+        zero = jnp.zeros((xbs.shape[1], 2, n_fft // 2 + 1), jnp.complex64)
+        Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
+        y = overlap_add(_irfft_ears(Y, n_fft, config), xbs.shape[-1])
         # mixdown: psum over source shards only — inputs are replicated
         # along "blk", so its replicas already hold identical values.
         return jax.lax.psum(y, "src")

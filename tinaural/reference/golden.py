@@ -43,7 +43,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import RenderConfig
-from ..data.table import ALIGN_GUARD, HrirTable, delay_ramp
+from ..data.table import ALIGN_GUARD, DELAY_PAD, HrirTable, delay_ramp
 
 
 def next_pow2(n: int) -> int:
@@ -128,11 +128,10 @@ def interpolate(table: HrirTable, az: float, el: float, config: RenderConfig):
 
 # ------------------------------------------------- effective-filter assembly
 
-# Extra FIR length reserved for the materialised fractional delay: covers
-# the largest physical ITD (~40 samples at 44.1 kHz) plus the sub-sample
-# delay kernel's spread. Uniform for decomposed and raw tables so shapes
-# stay static under jit.
-DELAY_PAD = 64
+# DELAY_PAD — the extra FIR length reserved for the materialised
+# fractional delay — is imported from tinaural.data.table (single source
+# of truth shared with the loaders' clip threshold and the TPU assembly
+# maps) and re-exported here for the tests/docs that cite the oracle.
 
 
 def t_eff(table: HrirTable) -> int:
