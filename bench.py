@@ -201,6 +201,53 @@ def w_brir() -> dict:
     return {"audio_sec_per_sec": (N / SR) / per}
 
 
+def _batched_push_cost(bs, blocks, azs, els) -> float:
+    """Pipelined marginal seconds per BatchedStream.push (state-chained
+    pushes, one fence; settle pair discarded — cold-start bias)."""
+    def fenced_b(n):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = bs.push(blocks, azs, els)
+        float(np.asarray(y[0, 0, -1]))
+        return time.perf_counter() - t0
+
+    bs.push(blocks, azs, els)
+    fenced_b(3)
+    fenced_b(4), fenced_b(16)  # discarded settle pair
+    ests = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
+    pos = [e for e in ests if e > 0]
+    return (float(np.median(pos)) if len(pos) >= 2
+            else min(fenced_b(16) for _ in range(2)) / 16)
+
+
+def w_capacity() -> dict:
+    """Serving-capacity curve (round-2 VERDICT weak #5): batched-stream
+    push latency at S ∈ {256, 1024} listeners per launch. The gridded
+    fused kernel's per-step VMEM is O(chunk), so capacity is set by how
+    per-launch latency grows with S — the number a deployment needs.
+    Real-time capacity per chip = max_S S·(block_audio)/push_time."""
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BatchedStream
+
+    B = 256
+    table = load_hrir_set("synthetic")
+    out = {}
+    for S in (256, 1024):
+        bs = BatchedStream(table, S, RenderConfig(stream_block=B))
+        rngb = np.random.default_rng(8)
+        blocks = rngb.standard_normal((S, B)).astype(np.float32)
+        azs = np.linspace(0, 350, S).astype(np.float32)
+        els = np.zeros(S, np.float32)
+        per = _batched_push_cost(bs, blocks, azs, els)
+        out[f"push_ms_{S}"] = per * 1e3
+        out[f"aggregate_{S}"] = S * (B / SR) / per
+    out["realtime_listeners_per_chip"] = max(
+        v for k, v in out.items() if k.startswith("aggregate_"))
+    return out
+
+
 def w_stream() -> dict:
     """Streaming push cost (block 256 ≈ 5.8 ms of audio).
 
@@ -251,20 +298,7 @@ def w_stream() -> dict:
     azs = np.linspace(0, 350, S).astype(np.float32)
     els = np.zeros(S, np.float32)
 
-    def fenced_b(n):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(n):
-            y = bs.push(blocks, azs, els)
-        float(np.asarray(y[0, 0, -1]))
-        return time.perf_counter() - t0
-
-    fenced_b(3)
-    fenced_b(4), fenced_b(16)  # discarded settle pair
-    estsb = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
-    posb = [e for e in estsb if e > 0]
-    per_b = (float(np.median(posb)) if len(posb) >= 2
-             else min(fenced_b(16) for _ in range(2)) / 16)
+    per_b = _batched_push_cost(bs, blocks, azs, els)
     return {"push_compute_ms": per_compute * 1e3,
             "push_latency_ms_incl_tunnel_rtt": per_rtt * 1e3,
             "realtime_budget_ms": B / SR * 1e3,
@@ -309,6 +343,7 @@ GROUPS = {
     ],
     "static_group": [("static", w_static), ("brir", w_brir)],
     "stream_group": [("stream", w_stream)],
+    "capacity_group": [("capacity", w_capacity)],
 }
 
 
@@ -367,6 +402,10 @@ def main() -> None:
         "stream_batched64_push_ms": get("stream", "batched64_push_ms", nd=3),
         "stream_batched64_aggregate": get(
             "stream", "batched64_aggregate_audio_sec_per_sec"),
+        "stream_batched256_push_ms": get("capacity", "push_ms_256", nd=3),
+        "stream_batched1024_push_ms": get("capacity", "push_ms_1024", nd=3),
+        "serving_realtime_listeners_per_chip": get(
+            "capacity", "realtime_listeners_per_chip"),
         "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),
         "snr_vs_cpu_golden_db": get("snr", "snr_db"),
         "snr_gate_db": 60.0,

@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..ops.filters import (DELAY_PAD, effective_filter, filter_spectrum_hybrid,
                           filter_spectrum_mm, next_pow2)
-from ..ops.fftpack import irfft_pair, rfft_pair, rfft_rows
+from ..ops.fftpack import irfft_pair, irfft_pair_z, rfft_pair, rfft_rows
 from ..ops.interp import interpolate
 from ..ops.ola import overlap_add
 
@@ -64,6 +64,25 @@ def _irfft_ears(Y: jax.Array, n_fft: int, config: RenderConfig) -> jax.Array:
         y0, y1 = irfft_pair(Y[:, 0], Y[:, 1], n_fft, impl=config.fft_impl)
         return jnp.stack([y0, y1], axis=0)
     return jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), 0, 1)
+
+
+def _ola_ears(Y: jax.Array, n_fft: int, B: int,
+              config: RenderConfig) -> jax.Array:
+    """Shared epilogue: (..., nb, 2, F) block spectra → (..., 2, out)
+    overlap-added stereo, out = (nb−1)·B + n_fft.
+
+    With config.fft_pack == "both" the two ears ride ONE packed complex
+    ifft AND the overlap-add runs on the packed complex time signal
+    BEFORE the Re/Im split — OLA is linear, so real/imag commute with
+    the adds. Versus irfft_pair + stack + real OLA this halves the OLA
+    traffic and never materialises the (2, nb, n_fft) stack."""
+    if config.fft_pack == "both":
+        z = irfft_pair_z(Y[..., 0, :], Y[..., 1, :], n_fft,
+                         impl=config.fft_impl)  # (..., nb, n_fft) complex
+        zo = overlap_add(z, B)  # (..., out) complex
+        return jnp.stack([jnp.real(zo), jnp.imag(zo)], axis=-2)
+    y = jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), -2, -3)  # (..., 2, nb, n)
+    return overlap_add(y, B)
 
 
 def _rfft_updown(xb: jax.Array, B: int, n_fft: int,
@@ -140,7 +159,7 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     else:
         Y = _trajectory_spectra_xla(table, xb, dirs, config)
     with jax.named_scope("irfft_ola"):
-        return overlap_add(_irfft_ears(Y, n_fft, config), B)  # (2, out)
+        return _ola_ears(Y, n_fft, B, config)  # (2, out)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -189,11 +208,8 @@ def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
 
 def _epilogue_batched(Y: jax.Array, B: int, n_fft: int,
                       config: RenderConfig) -> jax.Array:
-    """(S, nb, 2, F) block spectra → (S, 2, out) via irfft + OLA."""
-    S, nb = Y.shape[0], Y.shape[1]
-    y = _irfft_ears(Y.reshape(S * nb, 2, -1), n_fft, config)
-    y = jnp.moveaxis(y.reshape(2, S, nb, n_fft), 0, 1)  # (S, 2, nb, n_fft)
-    return jax.vmap(lambda yy: overlap_add(yy, B))(y)
+    """(S, nb, 2, F) block spectra → (S, 2, out) via packed irfft + OLA."""
+    return _ola_ears(Y, n_fft, B, config)
 
 
 def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
@@ -210,7 +226,7 @@ def _static_block_core(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + table.h.shape[-1] + DELAY_PAD - 1)
     Y = _static_block_spectra(table, xb, dir2, config)
-    return overlap_add(_irfft_ears(Y, n_fft, config), B)
+    return _ola_ears(Y, n_fft, B, config)
 
 
 def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
@@ -252,7 +268,7 @@ def _scene_static_fn(table, xbs, dirs, config):
 
     zero = jnp.zeros((nb, 2, n_fft // 2 + 1), jnp.complex64)
     Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
-    return overlap_add(_irfft_ears(Y, n_fft, config), B)
+    return _ola_ears(Y, n_fft, B, config)
 
 
 def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
@@ -425,7 +441,7 @@ def _scene_fn(table, xbs, dirs, config):
 
     zero = jnp.zeros((nb, 2, n_fft // 2 + 1), jnp.complex64)
     Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
-    return overlap_add(_irfft_ears(Y, n_fft, config), B)
+    return _ola_ears(Y, n_fft, B, config)
 
 
 def _chunked_sources(xbs, dirs, chunk: int):

@@ -50,12 +50,12 @@ def rfft_pair(a: jax.Array, b: jax.Array, n: int, impl: str = "xla"):
     return A, B
 
 
-def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
-    """irfft(A, n), irfft(B, n) via one complex ifft.
-
-    A, B: (..., n//2 + 1) complex half-spectra → two (..., n) real.
-    ``impl``: "xla" (jnp.fft) or "matmul" (tinaural.ops.mmfft).
-    """
+def irfft_pair_z(A: jax.Array, B: jax.Array, n: int,
+                 impl: str = "xla") -> jax.Array:
+    """The packed complex time signal whose Re/Im parts are irfft(A) /
+    irfft(B). Callers that post-process LINEARLY (e.g. overlap-add) can
+    defer the Re/Im split past their reduction — half the downstream
+    traffic. A, B: (..., n//2 + 1) complex half-spectra → (..., n)."""
     F = n // 2 + 1
     Zl = A + 1j * B  # k = 0..F−1
     # k = F..n−1: Hermitian tails conj(A[n−k]) + j·conj(B[n−k])
@@ -65,8 +65,18 @@ def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
     if impl == "matmul":
         from .mmfft import fft_planes
 
-        return fft_planes(jnp.real(Z), jnp.imag(Z), n, inverse=True)
-    z = jnp.fft.ifft(Z, n=n, axis=-1)
+        zr, zi = fft_planes(jnp.real(Z), jnp.imag(Z), n, inverse=True)
+        return jax.lax.complex(zr, zi)
+    return jnp.fft.ifft(Z, n=n, axis=-1)
+
+
+def irfft_pair(A: jax.Array, B: jax.Array, n: int, impl: str = "xla"):
+    """irfft(A, n), irfft(B, n) via one complex ifft.
+
+    A, B: (..., n//2 + 1) complex half-spectra → two (..., n) real.
+    ``impl``: "xla" (jnp.fft) or "matmul" (tinaural.ops.mmfft).
+    """
+    z = irfft_pair_z(A, B, n, impl=impl)
     return jnp.real(z), jnp.imag(z)
 
 

@@ -19,12 +19,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.renderer import (_chunked_sources, _irfft_ears,
+from ..models.renderer import (_chunked_sources, _ola_ears,
                                _trajectory_spectra_batched,
                                _trajectory_spectra_xla,
                                _use_fused_kernel, next_pow2)
 from ..ops.filters import DELAY_PAD
-from ..ops.ola import overlap_add
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -63,7 +62,7 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh):
 
         zero = jnp.zeros((xbs.shape[1], 2, n_fft // 2 + 1), jnp.complex64)
         Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
-        y = overlap_add(_irfft_ears(Y, n_fft, config), xbs.shape[-1])
+        y = _ola_ears(Y, n_fft, xbs.shape[-1], config)
         # mixdown: psum over source shards only — inputs are replicated
         # along "blk", so its replicas already hold identical values.
         return jax.lax.psum(y, "src")
