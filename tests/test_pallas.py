@@ -270,3 +270,94 @@ def test_fused_kernel_non_pow2_taps(rng):
     y = np.asarray(BinauralRenderer(t96, cfg).render_trajectory(x, dirs))
     ref = golden.render_trajectory(t96, x, dirs, RenderConfig(block_size=256))
     assert snr_db(ref, y) > 60
+
+
+@pytest.mark.parametrize("n_fft,B", [(512, 256), (1024, 256), (2048, 1024)])
+def test_fused_epilogue_matches_xla(rng, n_fft, B):
+    """The inverse-FFT+OLA kernel (four-step scrambled layout, Hermitian
+    mirror groups, carried OLA) == the packed-XLA `_ola_ears` across all
+    eligible (n1, k_ola) layouts: n1 ∈ {4, 8, 16}, k ∈ {2, 4}."""
+    from tinaural.models.renderer import _fused_ola_ears, _ola_ears
+
+    nb, F = 11, n_fft // 2 + 1
+    Y = (rng.standard_normal((nb, 2, F))
+         + 1j * rng.standard_normal((nb, 2, F))).astype(np.complex64)
+    Y[..., 0] = Y[..., 0].real  # valid rfft spectra: real endpoint bins
+    Y[..., -1] = Y[..., -1].real
+    ref = np.asarray(_ola_ears(jnp.asarray(Y), n_fft, B,
+                               RenderConfig(block_size=B, use_pallas=False)))
+    got = np.asarray(_fused_ola_ears(
+        jnp.asarray(Y), n_fft, B,
+        RenderConfig(block_size=B, use_pallas=True, pallas_interpret=True)))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100
+
+
+def test_fused_epilogue_batched_source_boundaries(rng):
+    """Flattened multi-source batches must not leak OLA tails across source
+    boundaries (the `first`-derived shift masks) and must flush each
+    source's final tail into its own appended zero blocks."""
+    from tinaural.models.renderer import _fused_ola_ears, _ola_ears
+
+    n_fft, B, S, nb = 1024, 256, 5, 7
+    F = n_fft // 2 + 1
+    Y = (rng.standard_normal((S, nb, 2, F))
+         + 1j * rng.standard_normal((S, nb, 2, F))).astype(np.complex64)
+    Y[..., 0] = Y[..., 0].real
+    Y[..., -1] = Y[..., -1].real
+    ref = np.asarray(_ola_ears(jnp.asarray(Y), n_fft, B,
+                               RenderConfig(block_size=B, use_pallas=False)))
+    got = np.asarray(_fused_ola_ears(
+        jnp.asarray(Y), n_fft, B,
+        RenderConfig(block_size=B, use_pallas=True, pallas_interpret=True)))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100
+
+
+def test_fused_block_step_matches_xla_spectra(table, rng):
+    """The fully-fused block step (in-kernel forward FFT + assembly +
+    crossfaded MAC via Y = Zf·G1 + C·G2) == the XLA spectra chain, read
+    back through the scrambled-half layout, including multi-source
+    `first` boundaries."""
+    from tinaural.models.renderer import (_trajectory_spectra_scrambled,
+                                          _trajectory_spectra_xla, next_pow2)
+    from tinaural.ops.filters import DELAY_PAD
+    from tinaural.ops.pallas_kernels import scramble_spectra
+
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    S, nb, B = 2, 5, 256
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    xbs = rng.standard_normal((S, nb, B)).astype(np.float32)
+    dirs = rng.uniform(0, 360, (S, nb, 2)).astype(np.float32)
+    Ysr, Ysi = _trajectory_spectra_scrambled(
+        jax.device_put(table), jnp.asarray(xbs), jnp.asarray(dirs), cfg)
+    Yref = jnp.stack([_trajectory_spectra_xla(
+        jax.device_put(table), jnp.asarray(xbs[s]), jnp.asarray(dirs[s]),
+        cfg.replace(use_pallas=False)) for s in range(S)])
+    Rr, Ri = scramble_spectra(Yref, n_fft)
+    assert snr_db(np.asarray(Rr), np.asarray(Ysr)) > 100
+    assert snr_db(np.asarray(Ri), np.asarray(Ysi)) > 100
+
+
+def test_fused_block_step_mix_matches_per_source_sum(table, rng):
+    """The scene-mixdown kernel (grid (nb/chunk, S), sources iterating
+    fastest, VMEM-resident output accumulation, per-source crossfade
+    carries) == summing the per-source fused block step's planes."""
+    from tinaural.models.renderer import (_trajectory_spectra_scrambled,
+                                          _scene_spectra_fused, next_pow2)
+    from tinaural.ops.filters import DELAY_PAD
+
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    S, nb, B = 3, 5, 256
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    xbs = rng.standard_normal((S, nb, B)).astype(np.float32)
+    dirs = rng.uniform(0, 360, (S, nb, 2)).astype(np.float32)
+    tb = jax.device_put(table)
+    Ysr, Ysi = _scene_spectra_fused(tb, jnp.asarray(xbs), jnp.asarray(dirs),
+                                    cfg, n_fft)
+    Rr, Ri = _trajectory_spectra_scrambled(tb, jnp.asarray(xbs),
+                                           jnp.asarray(dirs), cfg)
+    assert snr_db(np.asarray(Rr.sum(0)), np.asarray(Ysr)) > 100
+    assert snr_db(np.asarray(Ri.sum(0)), np.asarray(Ysi)) > 100

@@ -67,6 +67,12 @@ class RenderConfig:
         f32 rounding; measured a TIE with XLA on v5e — an escape hatch,
         not a win). Unpacked transforms (``fft_pack="off"``) always use
         jnp.fft.
+      fuse_epilogue: route the block renderers' irfft+OLA epilogue
+        through the fused Pallas inverse-FFT+OLA kernel (four-step
+        factorization in VMEM; tinaural.ops.pallas_kernels.fused_epilogue)
+        when eligible. Requires ``use_pallas``; exists separately so the
+        epilogue can be A/B-gated on chip independently of the
+        assembly+MAC kernel.
       pallas_interpret: run the Pallas kernel in interpreter mode (CPU
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear
@@ -83,6 +89,7 @@ class RenderConfig:
     scene_chunk: int = 8
     filter_path: str = "matmul"
     use_pallas: bool = True
+    fuse_epilogue: bool = True
     pallas_interpret: bool = False
     fft_pack: str = "both"
     fft_impl: str = "xla"

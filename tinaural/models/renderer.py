@@ -66,16 +66,69 @@ def _irfft_ears(Y: jax.Array, n_fft: int, config: RenderConfig) -> jax.Array:
     return jnp.moveaxis(jnp.fft.irfft(Y, n=n_fft), 0, 1)
 
 
+def _use_fused_epilogue(config: RenderConfig, n_fft: int, B: int) -> bool:
+    """Route the irfft+OLA epilogue through the fused Pallas kernel when
+    Pallas is enabled and the four-step layout fits (see
+    tinaural.ops.pallas_kernels.epilogue_ok)."""
+    if not (config.use_pallas and config.fuse_epilogue):
+        return False
+    if jax.default_backend() != "tpu" and not config.pallas_interpret:
+        return False
+    from ..ops.pallas_kernels import epilogue_ok
+
+    return epilogue_ok(n_fft, B)
+
+
+def _fused_ola_from_planes(Ysr: jax.Array, Ysi: jax.Array, n_fft: int,
+                           B: int, config: RenderConfig) -> jax.Array:
+    """Fused inverse-FFT+OLA from scrambled-half planes. Ysr/Ysi:
+    (nb, 2, Fs) or (S, nb, 2, Fs) → (..., 2, out), out = (nb−1)·B + n_fft.
+    Appends k−1 zero blocks per source to flush the final OLA tails (out
+    comes back at exactly (nb+k−1)·B)."""
+    from ..ops.pallas_kernels import fused_epilogue
+
+    k = n_fft // B
+    nb = Ysr.shape[-3]
+    nb2 = nb + k - 1
+    pad = [(0, 0)] * (Ysr.ndim - 3) + [(0, k - 1), (0, 0), (0, 0)]
+    Ysr, Ysi = jnp.pad(Ysr, pad), jnp.pad(Ysi, pad)
+    first1 = jnp.zeros((nb2,), jnp.float32).at[0].set(1.0)
+    if Ysr.ndim == 3:
+        return fused_epilogue(Ysr, Ysi, first1, B, n_fft,
+                              interpret=config.pallas_interpret)
+    S = Ysr.shape[0]
+    first = jnp.tile(first1, S)
+    y = fused_epilogue(Ysr.reshape(S * nb2, 2, -1),
+                       Ysi.reshape(S * nb2, 2, -1), first, B, n_fft,
+                       interpret=config.pallas_interpret)
+    return jnp.moveaxis(y.reshape(2, S, nb2 * B), 0, 1)  # (S, 2, out)
+
+
+def _fused_ola_ears(Y: jax.Array, n_fft: int, B: int,
+                    config: RenderConfig) -> jax.Array:
+    """`_ola_ears` through the fused inverse-FFT+OLA kernel. Y: (nb, 2, F)
+    or (S, nb, 2, F) natural-order block spectra → (..., 2, out)."""
+    from ..ops.pallas_kernels import scramble_spectra
+
+    Ysr, Ysi = scramble_spectra(Y, n_fft)  # (..., nb, 2, Fs)
+    return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
+
+
 def _ola_ears(Y: jax.Array, n_fft: int, B: int,
               config: RenderConfig) -> jax.Array:
     """Shared epilogue: (..., nb, 2, F) block spectra → (..., 2, out)
     overlap-added stereo, out = (nb−1)·B + n_fft.
 
-    With config.fft_pack == "both" the two ears ride ONE packed complex
-    ifft AND the overlap-add runs on the packed complex time signal
-    BEFORE the Re/Im split — OLA is linear, so real/imag commute with
-    the adds. Versus irfft_pair + stack + real OLA this halves the OLA
-    traffic and never materialises the (2, nb, n_fft) stack."""
+    Default route: the fused Pallas inverse-FFT+OLA kernel (the epilogue
+    was the largest XLA stage left in the headline call — ~0.65 ms of
+    1.3 ms). XLA fallback: with config.fft_pack == "both" the two ears
+    ride ONE packed complex ifft AND the overlap-add runs on the packed
+    complex time signal BEFORE the Re/Im split — OLA is linear, so
+    real/imag commute with the adds. Versus irfft_pair + stack + real OLA
+    this halves the OLA traffic and never materialises the (2, nb, n_fft)
+    stack."""
+    if _use_fused_epilogue(config, n_fft, B):
+        return _fused_ola_ears(Y, n_fft, B, config)
     if config.fft_pack == "both":
         z = irfft_pair_z(Y[..., 0, :], Y[..., 1, :], n_fft,
                          impl=config.fft_impl)  # (..., nb, n_fft) complex
@@ -143,6 +196,21 @@ def _trajectory_spectra_xla(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     return X[:, None, :] * Hc
 
 
+def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
+                     B: int) -> bool:
+    """Route through the fully-fused block step (in-kernel forward FFT +
+    assembly + MAC at scrambled bins) — requires both kernel gates plus a
+    lane-aligned block size and the bigger VMEM working set to fit."""
+    if not (_use_fused_kernel(config, taps, n_fft)
+            and _use_fused_epilogue(config, n_fft, B)):
+        return False
+    if B % 128 != 0 or B > n_fft:
+        return False
+    from ..ops.pallas_kernels import assembly_mac_s_vmem_bytes
+
+    return assembly_mac_s_vmem_bytes(taps, n_fft) < (12 << 20)
+
+
 def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
                      config: RenderConfig) -> jax.Array:
     """Crossfaded OLA block convolution. xb: (nb, B); dirs: (nb, 2) →
@@ -151,9 +219,15 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
 
+    if _use_fused_block(config, taps, n_fft, B):
+        # Fully-fused path (default): raw blocks → [fused forward FFT +
+        # assembly + MAC] → [fused inverse FFT + OLA]. No XLA FFT runs;
+        # filter spectra never touch HBM (BASELINE.json:5 north star).
+        Ysr, Ysi = _trajectory_spectra_scrambled(table, xb[None],
+                                                 dirs[None], config)
+        return _fused_ola_from_planes(Ysr[0], Ysi[0], n_fft, B, config)
     if _use_fused_kernel(config, taps, n_fft):
-        # Fused Pallas path (default): filter assembly + crossfaded MAC in
-        # one launch; the (nb, 2, F) filter spectra never touch HBM.
+        # Fused assembly+MAC with the XLA forward/epilogue around it.
         Y = _trajectory_spectra_batched(table, xb[None], dirs[None],
                                         config)[0]
     else:
@@ -204,6 +278,78 @@ def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
                            crossfade=config.crossfade,
                            interpret=config.pallas_interpret)
     return Y.reshape(S, nb, 2, n_fft // 2 + 1)
+
+
+def _trajectory_spectra_scrambled(table: HrirTable, xbs: jax.Array,
+                                  dirs: jax.Array, config: RenderConfig):
+    """Batched moving-source block spectra through the FULLY-fused block
+    step (in-kernel forward FFT + assembly + MAC): xbs (S, nb, B); dirs
+    (S, nb, 2) → (Ysr, Ysi) (S, nb, 2, Fs) f32 planes in the scrambled-
+    half layout `fused_epilogue` consumes. Same flattened (source, block)
+    batching and `first`-mask semantics as `_trajectory_spectra_batched`;
+    callers must check `_use_fused_block` first."""
+    from ..ops.pallas_kernels import fused_block_step
+
+    taps = table.h.shape[-1]
+    S, nb, B = xbs.shape
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    flat = dirs.reshape(S * nb, 2)
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        flat[:, 0], flat[:, 1])
+    first = jnp.tile(jnp.zeros((nb,), jnp.float32).at[0].set(1.0), S)
+    Ysr, Ysi = fused_block_step(h, d, g, xbs.reshape(S * nb, B), first,
+                                taps, n_fft, crossfade=config.crossfade,
+                                interpret=config.pallas_interpret)
+    Fs = Ysr.shape[-1]
+    return Ysr.reshape(S, nb, 2, Fs), Ysi.reshape(S, nb, 2, Fs)
+
+
+def _scene_spectra_fused(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
+                         config: RenderConfig, n_fft: int):
+    """Whole-scene MIXED block spectra in one kernel launch (or, when the
+    per-source carry scratch would overflow VMEM at very large S, a scan
+    over mix-kernel super-chunks). xbs: (S, nb, B); dirs: (S, nb, 2) →
+    (Ysr, Ysi) (nb, 2, Fs) planes for `fused_epilogue`."""
+    from ..ops.pallas_kernels import (_epilogue_dims, block_mix_vmem_bytes,
+                                      fused_block_step_mix)
+
+    taps = table.h.shape[-1]
+    S, nb, B = xbs.shape
+    flat = dirs.reshape(S * nb, 2)
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        flat[:, 0], flat[:, 1])
+    h = h.reshape(S, nb, 2, taps)
+    d = d.reshape(S, nb, 2)
+    g = g.reshape(S, nb, 2)
+
+    step = partial(fused_block_step_mix, taps=taps, n_fft=n_fft,
+                   crossfade=config.crossfade,
+                   interpret=config.pallas_interpret)
+    if block_mix_vmem_bytes(taps, n_fft, S) < (12 << 20):
+        return step(h, d, g, xbs)
+    # very large S: scan over source super-chunks that DO fit, mixing the
+    # plane partials (rare; S ≤ ~512 fits in one launch at default taps)
+    sc = 64
+    pad = (-S) % sc
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((pad, *h.shape[1:]), h.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((pad, *d.shape[1:]), d.dtype)])
+        g = jnp.concatenate([g, jnp.ones((pad, *g.shape[1:]), g.dtype)])
+        xbs = jnp.concatenate(
+            [xbs, jnp.zeros((pad, *xbs.shape[1:]), xbs.dtype)])
+    n = (S + pad) // sc
+    resh = lambda z: z.reshape(n, sc, *z.shape[1:])
+    Fs = _epilogue_dims(n_fft, B)[2]
+
+    def body(acc, args):
+        hr, dr, gr, xr = args
+        Ysr, Ysi = step(hr, dr, gr, xr)
+        return (acc[0] + Ysr, acc[1] + Ysi), None
+
+    zero = jnp.zeros((nb, 2, Fs), jnp.float32)
+    (Ysr, Ysi), _ = jax.lax.scan(
+        body, (zero, zero), (resh(h), resh(d), resh(g), resh(xbs)))
+    return Ysr, Ysi
 
 
 def _epilogue_batched(Y: jax.Array, B: int, n_fft: int,
@@ -395,14 +541,19 @@ def _batch_fn(table, xbs, dirs, config):
     S = xbs.shape[0]
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
     taps = table.h.shape[-1]
-    n_fft = next_pow2(xbs.shape[-1] + taps + DELAY_PAD - 1)
+    B = xbs.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
 
     def chunk(args):
         xb, dr = args
+        if fusedb:
+            Ysr, Ysi = _trajectory_spectra_scrambled(table, xb, dr, config)
+            return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
         if fused:
             Y = _trajectory_spectra_batched(table, xb, dr, config)
-            return _epilogue_batched(Y, xbs.shape[-1], n_fft, config)
+            return _epilogue_batched(Y, B, n_fft, config)
         return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
 
     y = jax.lax.map(chunk, (xc, dc))  # (n_chunks, ch, 2, out)
@@ -426,7 +577,12 @@ def _scene_fn(table, xbs, dirs, config):
     taps = table.h.shape[-1]
     nb, B = xbs.shape[1], xbs.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
+
+    if fusedb:
+        Ysr, Ysi = _scene_spectra_fused(table, xbs, dirs, config, n_fft)
+        return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
 
     def chunk(acc, args):
         xb, dr = args

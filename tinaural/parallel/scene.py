@@ -19,9 +19,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.renderer import (_chunked_sources, _ola_ears,
+from ..models.renderer import (_chunked_sources, _fused_ola_from_planes,
+                               _ola_ears, _scene_spectra_fused,
                                _trajectory_spectra_batched,
-                               _trajectory_spectra_xla,
+                               _trajectory_spectra_xla, _use_fused_block,
                                _use_fused_kernel, next_pow2)
 from ..ops.filters import DELAY_PAD
 
@@ -29,7 +30,9 @@ from ..ops.filters import DELAY_PAD
 @partial(jax.jit, static_argnames=("config", "mesh"))
 def _scene_sharded_fn(table, xbs, dirs, config, mesh):
     taps = table.h.shape[-1]
-    n_fft = next_pow2(xbs.shape[-1] + taps + DELAY_PAD - 1)
+    B = xbs.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
 
     @partial(
@@ -47,6 +50,15 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh):
         # and the irfft+OLA epilogue runs ONCE per shard before the psum
         # (epilogue-then-psum also halves ICI bytes vs psumming spectra).
         xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+
+        if fusedb:
+            # Fully-fused shard path (mirrors _scene_fn): the shard's
+            # whole sub-scene mixes inside ONE kernel launch, then one
+            # fused inverse+OLA per shard before the psum.
+            Ysr, Ysi = _scene_spectra_fused(table, xbs, dirs, config,
+                                            n_fft)
+            y = _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
+            return jax.lax.psum(y, "src")
 
         def chunk(acc, args):
             xb, dr = args
