@@ -73,6 +73,11 @@ class RenderConfig:
         when eligible. Requires ``use_pallas``; exists separately so the
         epilogue can be A/B-gated on chip independently of the
         assembly+MAC kernel.
+      kernel_precision: matmul precision inside the fused kernels —
+        ``"highest"`` (f32 via 6 bf16 MXU passes) or ``"tri"`` (3-pass
+        split-bf16: hi/lo decomposition dropping only the lo·lo term,
+        ~96 dB per matmul, ~90 dB end-to-end — half the MXU cost at
+        well above the 60 dB parity gate).
       pallas_interpret: run the Pallas kernel in interpreter mode (CPU
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear
@@ -90,6 +95,7 @@ class RenderConfig:
     filter_path: str = "matmul"
     use_pallas: bool = True
     fuse_epilogue: bool = True
+    kernel_precision: str = "highest"
     pallas_interpret: bool = False
     fft_pack: str = "both"
     fft_impl: str = "xla"
@@ -109,6 +115,10 @@ class RenderConfig:
         if self.fft_impl not in ("xla", "matmul"):
             raise ValueError(
                 f"fft_impl must be xla|matmul, got {self.fft_impl!r}")
+        if self.kernel_precision not in ("highest", "tri"):
+            raise ValueError(
+                f"kernel_precision must be highest|tri, "
+                f"got {self.kernel_precision!r}")
         for name in ("block_size", "stream_block"):
             v = getattr(self, name)
             if v <= 0 or (v & (v - 1)) != 0:

@@ -33,6 +33,100 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """~f32 matmul in 3 bf16 MXU passes (vs HIGHEST's 6).
+
+    Split both operands hi/lo (x = bf16(x) + bf16(x − bf16(x)), 16-bit
+    effective mantissa) and drop only the lo·lo term (~2⁻¹⁶ relative ≈
+    96 dB — inside the ≥60 dB parity budget with margin, measured ~90 dB
+    end-to-end). The hi/lo splits are cheap VPU ops; each product is one
+    full-rate bf16 MXU pass."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    f = jnp.float32
+    return (jnp.dot(ah, bh, preferred_element_type=f)
+            + jnp.dot(ah, bl, preferred_element_type=f)
+            + jnp.dot(al, bh, preferred_element_type=f))
+
+
+def _kdot(precision):
+    """In-kernel matmul for the given precision setting: the string
+    ``"tri"`` selects the 3-pass split-bf16 `_dot3`; anything else is a
+    jax.lax.Precision passed to jnp.dot."""
+    if precision == "tri":
+        return _dot3
+    return lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                precision=precision)
+
+
+def _tile_fft(groups, n: int, sign: float):
+    """Radix-2 DIT FFT across a Python list of equal-shape VMEM tiles.
+
+    The four-step FFT's short dimension (n1 = n_fft/128 ∈ {4, 8, 16})
+    runs across lane-group tiles; a dense n1×n1 combine costs n1² complex
+    tile-multiplies on the VPU, which profiling showed dominating the
+    fused block kernels. This is the classic butterfly network instead —
+    O(n1·log n1) tile ops, with unit/±j twiddles free and the bit-reversal
+    a compile-time list reorder.
+
+    ``groups``: length-n list of (re, im) tile pairs or None (a zero tile
+    — zero-padded input groups cost nothing). ``sign``: −1 forward, +1
+    inverse (unscaled). Returns n (re, im) pairs.
+    """
+    assert n & (n - 1) == 0
+    bits = n.bit_length() - 1
+    idx = [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
+    a = [groups[i] for i in idx]  # bit-reversed input order
+
+    def cmul(t, wr, wi):  # t·(wr + j·wi) with free special cases
+        if t is None:
+            return None
+        tr, ti = t
+        if abs(wr - 1.0) < 1e-12 and abs(wi) < 1e-12:
+            return t
+        if abs(wr + 1.0) < 1e-12 and abs(wi) < 1e-12:
+            return (-tr, -ti)
+        if abs(wr) < 1e-12 and abs(wi - 1.0) < 1e-12:
+            return (-ti, tr)
+        if abs(wr) < 1e-12 and abs(wi + 1.0) < 1e-12:
+            return (ti, -tr)
+        if abs(wi) < 1e-12:
+            return (wr * tr, wr * ti)
+        if abs(wr) < 1e-12:
+            return (-wi * ti, wi * tr)
+        return (wr * tr - wi * ti, wr * ti + wi * tr)
+
+    def badd(x, y, neg):  # x ± y with None-as-zero propagation
+        if y is None:
+            return x
+        if x is None:
+            return (-y[0], -y[1]) if neg else y
+        return (x[0] - y[0], x[1] - y[1]) if neg else (x[0] + y[0],
+                                                       x[1] + y[1])
+
+    half = 1
+    while half < n:
+        step = n // (2 * half)
+        out = list(a)
+        for base in range(0, n, 2 * half):
+            for k in range(half):
+                ang = sign * 2.0 * np.pi * k * step / n
+                t = cmul(a[base + half + k], float(np.cos(ang)),
+                         float(np.sin(ang)))
+                out[base + k] = badd(a[base + k], t, neg=False)
+                out[base + half + k] = badd(a[base + k], t, neg=True)
+        a = out
+        half *= 2
+    zero = None
+    for t in a:
+        if t is not None:
+            zero = (jnp.zeros_like(t[0]), jnp.zeros_like(t[1]))
+            break
+    return [t if t is not None else zero for t in a]
+
+
 # Blocks processed per grid step: keeps the sublane dimension at the f32
 # tile minimum (8) required by Mosaic.
 _ROWS = 8
@@ -456,35 +550,25 @@ def _forward_fourstep(zr, zi, n1: int, Gh: int, chunk: int,
     group tiles. Returns (Zf_r, Zf_i, C_r, C_i) each (Gh·chunk, 128) with
     group kk at rows [kk·chunk, (kk+1)·chunk); C is conj(Zf[−k]) (None
     pair when ``need_mirror`` is False — the no-crossfade path)."""
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=precision)
+    dot = _kdot(precision)
     B = zr.shape[-1]
     ng_in = B // 128
     zg_r = [zr[:, i * 128:(i + 1) * 128] for i in range(ng_in)]
     zg_i = [zi[:, i * 128:(i + 1) * 128] for i in range(ng_in)] \
         if zi is not None else None
 
-    # stage 1 (VPU): S1[k1] = Σ_i1 z_group[i1]·e^{−2πj·i1·k1/n1};
-    # stage 2: twiddle rows. T holds all n1 groups (the mirror path reads
-    # the upper ones).
+    # stage 1: S1[k1] = Σ_i1 z_group[i1]·e^{−2πj·i1·k1/n1} — a radix-2
+    # butterfly network over the group tiles (O(n1·log n1) VPU ops; the
+    # zero-padded upper groups cost nothing). stage 2: twiddle rows.
+    if zg_i is None:
+        zeros = jnp.zeros_like(zg_r[0])
+        gl = [(zg_r[i], zeros) if i < ng_in else None for i in range(n1)]
+    else:
+        gl = [(zg_r[i], zg_i[i]) if i < ng_in else None for i in range(n1)]
+    S1 = _tile_fft(gl, n1, -1.0)
     T_r, T_i = [], []
     for kk in range(n1):
-        ar = ai = None
-        for i1 in range(ng_in):
-            ang = -2.0 * np.pi * i1 * kk / n1
-            cr, ci = float(np.cos(ang)), float(np.sin(ang))
-            cr = 0.0 if abs(cr) < 1e-12 else cr
-            ci = 0.0 if abs(ci) < 1e-12 else ci
-            if zg_i is None:
-                tr = cr * zg_r[i1] if cr else 0.0
-                ti = ci * zg_r[i1] if ci else 0.0
-            else:
-                tr = ((cr * zg_r[i1] if cr else 0.0)
-                      - (ci * zg_i[i1] if ci else 0.0))
-                ti = ((cr * zg_i[i1] if cr else 0.0)
-                      + (ci * zg_r[i1] if ci else 0.0))
-            ar = tr if ar is None else ar + tr
-            ai = ti if ai is None else ai + ti
+        ar, ai = S1[kk]
         tr_row, ti_row = ftr[kk:kk + 1, :], fti[kk:kk + 1, :]
         T_r.append(ar * tr_row - ai * ti_row)
         T_i.append(ar * ti_row + ai * tr_row)
@@ -531,20 +615,18 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
     per-source scratch slice so consecutive i-steps of the same source
     chain correctly."""
     hp = precision
+    dot = _kdot(hp)
 
     # ---- filter assembly at scrambled bins (same chain as
     # _assembly_mac_kernel; only MA's column layout differs)
-    G = jnp.dot(h_ref[...], m1_ref[...], preferred_element_type=jnp.float32,
-                precision=hp)
+    G = dot(h_ref[...], m1_ref[...])
     c, s = _ramp_cos_sin(d_ref[...], trig_ref)
     g = g_ref[...]
     Gr, Gi = G[:, :FLp], G[:, FLp:]
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
-    h_eff = jnp.dot(G2, mb_ref[...], preferred_element_type=jnp.float32,
-                    precision=hp)
-    H = jnp.dot(h_eff, ma_ref[...], preferred_element_type=jnp.float32,
-                precision=hp)  # (2·chunk, 2Fs) rows [ear0; ear1]
+    h_eff = dot(G2, mb_ref[...])
+    H = dot(h_eff, ma_ref[...])  # (2·chunk, 2Fs) rows [ear0; ear1]
     Hc0, Hc1 = H[:chunk], H[chunk:]
 
     # ---- forward FFT of the raw blocks
@@ -1132,7 +1214,8 @@ def _epilogue_consts(n_fft: int):
     W = np.cos(ang) + 1j * np.sin(ang)
     angf = 2.0 * np.pi * np.outer(127 - k2, k2) / 128.0  # [m, i2] flipped
     Wf = np.cos(angf) + 1j * np.sin(angf)
-    tw = np.exp(2j * np.pi * np.outer(np.arange(n1), k2) / n_fft)
+    # 1/n_fft folded in: stage 3 is then an UNSCALED inverse butterfly
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n1), k2) / n_fft) / n_fft
     twp = np.zeros((max(n1, 8), 128), np.complex128)
     twp[:n1] = tw
     return (W.real.astype(np.float32), W.imag.astype(np.float32),
@@ -1150,9 +1233,7 @@ def _epilogue_kernel(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
                      out0, out1, car0, car1):
     """One grid step = `chunk` blocks: ear-pack → inverse four-step → OLA."""
     n_fft = n1 * 128
-    hp = precision
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=hp)
+    dot = _kdot(precision)
     a_r, a_i = y0r[...], y0i[...]  # (chunk, Fs) ear-0 planes
     b_r, b_i = y1r[...], y1i[...]
     # Zy = Y0 + j·Y1 (packed ears); Zyt = conj(Y0) + j·conj(Y1) feeds the
@@ -1188,24 +1269,12 @@ def _epilogue_kernel(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
         F2r.append(fr * tr - fi * ti)
         F2i.append(fr * ti + fi * tr)
 
-    # stage 3: n1×n1 combine (coefficients exp(2πj·i1·k1/n1)/n; exact
-    # zeros skipped — a quarter of the terms at n1 ∈ {4, 8, 16}).
-    zr_gs, zi_gs = [], []
-    for i1 in range(n1):
-        accr = acci = None
-        for k1 in range(n1):
-            ang = 2.0 * np.pi * i1 * k1 / n1
-            cr, ci = np.cos(ang) / n_fft, np.sin(ang) / n_fft
-            cr = 0.0 if abs(cr) < 1e-12 else float(cr)
-            ci = 0.0 if abs(ci) < 1e-12 else float(ci)
-            tr = (cr * F2r[k1] if cr else 0.0) - (ci * F2i[k1] if ci else 0.0)
-            ti = (cr * F2i[k1] if cr else 0.0) + (ci * F2r[k1] if ci else 0.0)
-            accr = tr if accr is None else accr + tr
-            acci = ti if acci is None else acci + ti
-        zr_gs.append(accr)
-        zi_gs.append(acci)
-    z_r = jnp.concatenate(zr_gs, axis=1)  # (chunk, n_fft): ear-0 time
-    z_i = jnp.concatenate(zi_gs, axis=1)  # ear-1 time
+    # stage 3: unscaled inverse DFT over the n1 group tiles as a radix-2
+    # butterfly network (the 1/n_fft scale is baked into the stage-2
+    # twiddle constants).
+    zg = _tile_fft(list(zip(F2r, F2i)), n1, +1.0)
+    z_r = jnp.concatenate([t[0] for t in zg], axis=1)  # (chunk, n_fft) e0
+    z_i = jnp.concatenate([t[1] for t in zg], axis=1)  # ear-1 time
 
     # overlap-add: block c emits z[c, :B] + Σ_j z[c−j, jB:(j+1)B], the
     # shifted rows coming from the VMEM carry at grid-step boundaries. The
