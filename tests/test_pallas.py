@@ -361,3 +361,41 @@ def test_fused_block_step_mix_matches_per_source_sum(table, rng):
                                            jnp.asarray(dirs), cfg)
     assert snr_db(np.asarray(Rr.sum(0)), np.asarray(Ysr)) > 100
     assert snr_db(np.asarray(Ri.sum(0)), np.asarray(Ysi)) > 100
+
+
+def test_tri_precision_parity(table, rng):
+    """kernel_precision="tri" (3-pass split-bf16 matmuls) must stay well
+    above the 60 dB gate end-to-end (measured ~102 dB; drops only the
+    lo·lo bf16 term per matmul)."""
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True,
+                       kernel_precision="tri")
+    x = rng.standard_normal(1500)
+    nb = -(-1500 // 256)
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-30, 60, nb)], axis=1)
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs,
+                                   RenderConfig(block_size=256))
+    assert snr_db(ref, y) > 80
+
+
+@pytest.mark.parametrize("taps", [2048, 512])
+def test_fused_partitioned_matches_golden_stream(rng, taps):
+    """The fused batched partitioned-conv kernel (in-kernel frames,
+    forward FFT, carried delay line, crossfade pair, inverse tails) ==
+    GoldenStream block by block, including the P=9 BRIR regime."""
+    from tinaural.data import load_hrir_set
+
+    tb = load_hrir_set("synthetic", taps=taps)
+    B = 256
+    cfg = RenderConfig(stream_block=B, use_pallas=True, pallas_interpret=True)
+    r = BinauralRenderer(tb, cfg)
+    N = 6 * B
+    x = rng.standard_normal(N).astype(np.float32)
+    nb = N // B
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-30, 50, nb)], 1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gs = golden.GoldenStream(tb, RenderConfig(stream_block=B))
+    ref = np.concatenate([gs.push(x[b * B:(b + 1) * B].astype(np.float64),
+                                  dirs[b, 0], dirs[b, 1])
+                          for b in range(nb)], -1)
+    assert snr_db(ref, y) > 60

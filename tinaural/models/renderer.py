@@ -205,6 +205,23 @@ def _trajectory_spectra_xla(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     return X[:, None, :] * Hc
 
 
+def _use_fused_partitioned(config: RenderConfig, B: int, P: int) -> bool:
+    """Route the batched partitioned conv through its fused kernel: needs
+    Pallas on, the 2B-frame four-step layout, and the per-grid-step H
+    rows (O(P)) plus carries to fit VMEM (very long BRIRs keep the
+    memory-bounded XLA scan)."""
+    if not config.use_pallas:
+        return False
+    if jax.default_backend() != "tpu" and not config.pallas_interpret:
+        return False
+    n1p = (2 * B) // 128
+    if (2 * B) % 128 != 0 or n1p not in (4, 8, 16):
+        return False
+    from ..ops.pallas_kernels import partitioned_step_vmem_bytes
+
+    return partitioned_step_vmem_bytes(B, P) < (12 << 20)
+
+
 def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
                      B: int) -> bool:
     """Route through the fully-fused block step (in-kernel forward FFT +
@@ -413,9 +430,22 @@ def _scene_static_fn(table, xbs, dirs, config):
     spectra accumulate in a (nb, 2, F) scan carry and the irfft+OLA
     epilogue runs ONCE per scene (round 2 ran it once per chunk — eight
     serialized epilogues at S=64, the dominant non-linear-scaling cost)."""
+    S, nb, B = xbs.shape
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+
+    if _use_fused_block(config, taps, n_fft, B):
+        # Static directions through the whole-scene mix kernel: constant
+        # per-block filters make the crossfade the identity, so the
+        # non-crossfade kernel (no Hermitian-mirror path, single MAC) is
+        # exact. Re-assembling the filter per block costs MXU FLOPs the
+        # one-launch structure more than buys back (A/B'd on chip).
+        dirs_b = jnp.broadcast_to(dirs[:, None, :], (S, nb, 2))
+        Ysr, Ysi = _scene_spectra_fused(
+            table, xbs, dirs_b, config.replace(crossfade=False), n_fft)
+        return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
+
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
-    nb, B = xbs.shape[1], xbs.shape[-1]
-    n_fft = next_pow2(B + table.h.shape[-1] + DELAY_PAD - 1)
 
     def chunk(acc, args):
         xb, dr = args
@@ -452,6 +482,25 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     pack = config.fft_pack != "off"
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
+
+    if _use_fused_partitioned(config, B, P):
+        # Fused path: assembly stays in XLA (long-BRIR zoom matrices
+        # overflow VMEM), everything after — frames, forward FFT, the
+        # delay-line MAC, the crossfade pair, the inverse tails — runs in
+        # one Pallas launch (round-3 VERDICT #4: the least TPU-native
+        # path left).
+        from ..ops.pallas_kernels import (fused_partitioned_step,
+                                          scramble_spectra)
+
+        Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(
+            hh, dd, gg, taps, B, use_matmul=use_mm))(h, d, g)  # (nb,P,2,F2)
+        Hsr, Hsi = scramble_spectra(Hb, 2 * B)  # (nb, P, 2, Fs2)
+        first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
+        return fused_partitioned_step(
+            xb, Hsr.reshape(nb, -1), Hsi.reshape(nb, -1), first, B, P,
+            crossfade=config.crossfade, interpret=config.pallas_interpret,
+            precision=_kernel_precision(config))
+
     X = frame_spectra(xb, pack=pack, impl=config.fft_impl)  # (nb, F)
 
     if P > 8:
@@ -550,18 +599,24 @@ def _batch_fn(table, xbs, dirs, config):
     (S, nb, 2) → (S, 2, out). Serving-mode batching: many files/requests
     per device dispatch."""
     S = xbs.shape[0]
-    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
     taps = table.h.shape[-1]
     B = xbs.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
 
+    if fusedb:
+        # Fully-fused serving path: ALL (request, block) rows in one
+        # kernel launch + one batched epilogue launch — no chunk scan
+        # (the per-chunk serialization existed to bound XLA's complex
+        # spectra intermediates; the f32 plane pipeline doesn't need it).
+        Ysr, Ysi = _trajectory_spectra_scrambled(table, xbs, dirs, config)
+        return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
+
+    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
+
     def chunk(args):
         xb, dr = args
-        if fusedb:
-            Ysr, Ysi = _trajectory_spectra_scrambled(table, xb, dr, config)
-            return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
         if fused:
             Y = _trajectory_spectra_batched(table, xb, dr, config)
             return _epilogue_batched(Y, B, n_fft, config)

@@ -874,6 +874,217 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
     Ysi = jnp.stack([y0i[:nb], y1i[:nb]], axis=1)
     return Ysr, Ysi
 
+# ==================== fused batched partitioned-conv kernel ==================
+#
+# The offline partitioned renderer (BASELINE.json:10 "batched partitioned
+# convolution"; the BRIR/long-filter path) ran as ~8 XLA stages per call:
+# frame rffts, the materialised (P, nb, F) frequency-domain delay line, the
+# per-partition MAC einsum, crossfade-pair inverse FFTs, tail slicing and
+# blending. This kernel runs the whole post-assembly pipeline in VMEM per
+# chunk of blocks — the same four-step FFT machinery as the block kernels,
+# at frame size 2B:
+#
+#   xb ──[prev-row carry]──▶ overlap-save frames ──fwd four-step──▶ X
+#   X ──row-shift delay line (P−1 carried rows)──▶ Σ_p X[b−p]·H_p[b]
+#   (crossfade pair vs H[b−1] via one carried H row) ──inverse four-step──▶
+#   last-B tails ──ramp blend──▶ (2, nb·B)
+#
+# Filter assembly stays in XLA (the partition zoom matmuls or the fft
+# chain — long-BRIR matrices overflow VMEM; see `_partitioned_scan`), and
+# the assembled partitions are gathered once into the scrambled-half
+# layout, so the kernel's MAC and inverse read them directly.
+
+
+def partitioned_step_vmem_bytes(B: int, P: int) -> int:
+    """VMEM estimate (constants + per-grid-step working set + carries) of
+    the fused partitioned kernel, for the eligibility gate."""
+    n1p = (2 * B) // 128
+    Fs2 = (n1p // 2 + 1) * 128
+    ch = _PART_CHUNK
+    consts = (8 * 128 * 128 + 4 * max(n1p, 8) * 128) * 4
+    work = ch * (2 * B * 3 + 4 * n1p * 128 + 6 * Fs2  # frames + fft + X
+                 + 4 * P * 2 * Fs2                     # H rows ×2 (c, prev)
+                 + 16 * Fs2 + 4 * 2 * B + 2 * B) * 4   # MAC/inv/out
+    carries = (8 * B + max(8, P - 1) * 2 * Fs2 + 2 * 8 * P * 2 * Fs2) * 4
+    return consts + work + carries
+
+
+_PART_CHUNK = 32  # blocks per grid step of the partitioned kernel
+
+
+def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
+                        precision, chunk: int,
+                        xb_ref, hr_ref, hi_ref, first_ref,
+                        fwr, fwi, ftr, fti,
+                        iwr, iwi, ifr, ifi, itr, iti,
+                        y0_o, y1_o, xcar, dcar, hrcar, hicar):
+    """One grid step = `chunk` blocks of the batched partitioned conv."""
+    dot = _kdot(precision)
+    Fs2 = Ghp * 128
+    n2 = 2 * B
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xcar[...] = jnp.zeros_like(xcar)
+        dcar[...] = jnp.zeros_like(dcar)
+        hrcar[...] = jnp.zeros_like(hrcar)
+        hicar[...] = jnp.zeros_like(hicar)
+
+    # ---- overlap-save frames via the previous-row carry
+    x = xb_ref[...]  # (chunk, B)
+    xprev = jnp.concatenate([xcar[0:1], x[:-1]], axis=0)
+    xcar[0:1] = x[-1:]
+    frame = jnp.concatenate([xprev, x], axis=1)  # (chunk, 2B)
+
+    # ---- forward four-step at n = 2B (real input)
+    zeros = jnp.zeros((chunk, 128), jnp.float32)
+    gl = [(frame[:, i * 128:(i + 1) * 128], zeros) for i in range(n1p)]
+    S1 = _tile_fft(gl, n1p, -1.0)
+    T_r, T_i = [], []
+    for kk in range(n1p):
+        ar, ai = S1[kk]
+        tr, ti = ftr[kk:kk + 1, :], fti[kk:kk + 1, :]
+        T_r.append(ar * tr - ai * ti)
+        T_i.append(ar * ti + ai * tr)
+    Ar = jnp.concatenate(T_r[:Ghp], axis=0)
+    Ai = jnp.concatenate(T_i[:Ghp], axis=0)
+    W, Wi_ = fwr[...], fwi[...]
+    Zr = dot(Ar, W) - dot(Ai, Wi_)
+    Zi = dot(Ar, Wi_) + dot(Ai, W)
+    lanes = lambda Z: jnp.concatenate(
+        [Z[kk * chunk:(kk + 1) * chunk] for kk in range(Ghp)], axis=1)
+    X = jnp.concatenate([lanes(Zr), lanes(Zi)], axis=1)  # (chunk, 2Fs2)
+
+    # ---- frequency-domain delay line: row shifts with carried history
+    km = P - 1
+    ztot = jnp.concatenate([dcar[0:km], X], axis=0) if km else X
+    if km:
+        dcar[0:km] = ztot[chunk:chunk + km]
+
+    # ---- per-block filter partitions (+ previous-block row for crossfade)
+    Hr, Hi = hr_ref[...], hi_ref[...]  # (chunk, P·2·Fs2)
+    if crossfade:
+        fm = first_ref[...]  # (chunk, 1)
+        Hpr = jnp.where(fm > 0.5, Hr,
+                        jnp.concatenate([hrcar[0:1], Hr[:-1]], axis=0))
+        Hpi = jnp.where(fm > 0.5, Hi,
+                        jnp.concatenate([hicar[0:1], Hi[:-1]], axis=0))
+        hrcar[0:1] = Hr[-1:]
+        hicar[0:1] = Hi[-1:]
+
+    def mac(HR, HI):  # Σ_p X[b−p]·H_p → (chunk, Fs2) re/im per ear
+        acc = [[None, None], [None, None]]
+        for p in range(P):
+            Xs = ztot[km - p:km - p + chunk] if km else X
+            xr, xi = Xs[:, :Fs2], Xs[:, Fs2:]
+            for ear in range(2):
+                s = slice((p * 2 + ear) * Fs2, (p * 2 + ear + 1) * Fs2)
+                hr, hi = HR[:, s], HI[:, s]
+                tr = xr * hr - xi * hi
+                ti = xr * hi + xi * hr
+                acc[ear][0] = tr if acc[ear][0] is None else acc[ear][0] + tr
+                acc[ear][1] = ti if acc[ear][1] is None else acc[ear][1] + ti
+        return acc
+
+    def inverse_tail(Y):  # ear-packed inverse four-step → (chunk, B) ×2
+        (y0r, y0i), (y1r, y1i) = Y
+        zyr, zyi = y0r - y1i, y0i + y1r
+        ztr, zti = y0r + y1i, y1r - y0i
+        g = lambda z, gi: z[:, gi * 128:(gi + 1) * 128]
+        Br = jnp.concatenate([g(zyr, gi) for gi in range(Ghp)], axis=0)
+        Bi = jnp.concatenate([g(zyi, gi) for gi in range(Ghp)], axis=0)
+        Wv, Wvi = iwr[...], iwi[...]
+        F1a_r = dot(Br, Wv) - dot(Bi, Wvi)
+        F1a_i = dot(Br, Wvi) + dot(Bi, Wv)
+        Mr = jnp.concatenate([g(ztr, n1p - gi) for gi in range(Ghp, n1p)],
+                             axis=0)
+        Mi = jnp.concatenate([g(zti, n1p - gi) for gi in range(Ghp, n1p)],
+                             axis=0)
+        Wf, Wfi_ = ifr[...], ifi[...]
+        F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
+        F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
+        F2 = []
+        for gi in range(n1p):
+            if gi < Ghp:
+                fr = F1a_r[gi * chunk:(gi + 1) * chunk]
+                fi = F1a_i[gi * chunk:(gi + 1) * chunk]
+            else:
+                j = gi - Ghp
+                fr = F1b_r[j * chunk:(j + 1) * chunk]
+                fi = F1b_i[j * chunk:(j + 1) * chunk]
+            tr, ti = itr[gi:gi + 1, :], iti[gi:gi + 1, :]
+            F2.append((fr * tr - fi * ti, fr * ti + fi * tr))
+        zg = _tile_fft(F2, n1p, +1.0)
+        z_r = jnp.concatenate([t[0] for t in zg], axis=1)  # (chunk, 2B)
+        z_i = jnp.concatenate([t[1] for t in zg], axis=1)
+        return z_r[:, B:], z_i[:, B:]  # overlap-save tails
+
+    Yn = mac(Hr, Hi)
+    yn0, yn1 = inverse_tail(Yn)
+    if crossfade:
+        Yp = mac(Hpr, Hpi)
+        yp0, yp1 = inverse_tail(Yp)
+        ramp = ((jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+                 .astype(jnp.float32) + 0.5) / B)
+        y0_o[...] = ramp * yn0 + (1.0 - ramp) * yp0
+        y1_o[...] = ramp * yn1 + (1.0 - ramp) * yp1
+    else:
+        y0_o[...] = yn0
+        y1_o[...] = yn1
+
+
+@partial(jax.jit,
+         static_argnames=("B", "P", "crossfade", "interpret", "precision"))
+def fused_partitioned_step(xb: jax.Array, Hr: jax.Array, Hi: jax.Array,
+                           first: jax.Array, B: int, P: int,
+                           crossfade: bool = True, interpret: bool = False,
+                           precision=jax.lax.Precision.HIGHEST):
+    """Batched partitioned convolution (post-assembly) in one launch.
+
+    xb: (nb, B) raw blocks; Hr, Hi: (nb, P·2·Fs2) f32 planes of the
+    per-block filter partitions in the scrambled-half layout of
+    `_scramble_maps(2B)`, lanes [partition][ear][bin]; first: (nb,).
+    → (2, nb·B) — the streaming renderer's exact output, batched.
+    """
+    nb = xb.shape[0]
+    n1p = (2 * B) // 128
+    Ghp = n1p // 2 + 1
+    Fs2 = Ghp * 128
+    first = first.at[0].set(1.0)
+    fwr, fwi, ffr_, ffi_, ftr, fti = _forward_fft_consts(2 * B)
+    iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(2 * B)
+
+    ch = _PART_CHUNK
+    nbp = _round_up(max(nb, 1), ch)
+    pb = nbp - nb
+    pad = lambda z: jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
+    fm = jnp.pad(first.astype(jnp.float32), [(0, pb)],
+                 constant_values=1.0)[..., None]
+
+    rowb = lambda n: pl.BlockSpec((ch, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    cj = [jnp.asarray(a) for a in (fwr, fwi, ftr, fti,
+                                   iwr, iwi, ifr, ifi, itr, iti)]
+    y0, y1 = pl.pallas_call(
+        partial(_partitioned_kernel, crossfade, n1p, Ghp, B, P,
+                precision, ch),
+        grid=(nbp // ch,),
+        in_specs=[rowb(B), rowb(P * 2 * Fs2), rowb(P * 2 * Fs2), rowb(1)]
+        + [const(a) for a in cj],
+        out_specs=(rowb(B), rowb(B)),
+        out_shape=(jax.ShapeDtypeStruct((nbp, B), jnp.float32),
+                   jax.ShapeDtypeStruct((nbp, B), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.float32),
+                        pltpu.VMEM((max(8, P - 1), 2 * Fs2), jnp.float32),
+                        pltpu.VMEM((8, P * 2 * Fs2), jnp.float32),
+                        pltpu.VMEM((8, P * 2 * Fs2), jnp.float32)],
+        interpret=interpret,
+    )(pad(xb), pad(Hr), pad(Hi), fm, *cj)
+    return jnp.stack([y0[:nb].reshape(-1), y1[:nb].reshape(-1)], axis=0)
+
+
 # ======================== fused streaming-step kernel ========================
 #
 # One Pallas launch per Stream.push / BatchedStream.push (ROADMAP #4): the
