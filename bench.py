@@ -179,21 +179,25 @@ def w_static() -> dict:
 
 
 def w_brir() -> dict:
-    """BRIR-length moving render: 2048-tap filters, P=9 partition scan —
-    the workload the whole-filter block path cannot touch (frame stays
-    2·stream_block regardless of filter length)."""
+    """BRIR-length moving render: 2048-tap filters through the fused
+    partitioned kernel (P=5 at block 512) — the workload the whole-filter
+    block path cannot touch (frame stays 2·stream_block regardless of
+    filter length). Block 512 ≈ 11.6 ms latency: an offline/near-line
+    operating point; the hard-latency point is the stream benchmarks'
+    block 256."""
     import jax
     from tinaural.config import RenderConfig
     from tinaural.data import load_hrir_set
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _partitioned_fn
 
-    cfg = RenderConfig(stream_block=256)
+    B = 512
+    cfg = RenderConfig(stream_block=B)
     r = BinauralRenderer(load_hrir_set("synthetic", taps=2048), cfg)
     rng = np.random.default_rng(6)
     N = 1 << 17
-    nb = N // 256
-    xb = jax.device_put(rng.standard_normal((nb, 256)).astype(np.float32))
+    nb = N // B
+    xb = jax.device_put(rng.standard_normal((nb, B)).astype(np.float32))
     dirs = jax.device_put(
         np.stack([np.linspace(0, 350, nb) % 360,
                   20 * np.sin(np.linspace(0, 9, nb))], axis=1).astype(np.float32))

@@ -53,15 +53,57 @@ def static_result():
     return _run_group("static_group")
 
 
+@pytest.fixture(scope="module")
+def scene_result():
+    return _run_group("scene_group")
+
+
+@pytest.fixture(scope="module")
+def stream_result():
+    return _run_group("stream_group")
+
+
 def test_trajectory_beats_10000x_with_margin(traj_result):
-    """Headline ≥1.5× the 10,000× target (measured ≥2.1× across rounds)."""
-    assert traj_result["traj"]["audio_sec_per_sec"] > 15_000
+    """Headline ≥2.2× the 10,000× target — ~25% under the round-3
+    official 30–36k (round-2 VERDICT weak #3: the old 15k gate would have
+    passed a 2× regression)."""
+    assert traj_result["traj"]["audio_sec_per_sec"] > 22_000
 
 
 def test_static_block_path_beats_target(static_result):
-    """Config 1 (static render) ≥ the 10,000× target via the block path
-    (round-1: the monolithic-FFT path missed it at 6.6k)."""
-    assert static_result["static"]["audio_sec_per_sec"] > 10_000
+    """Config 1 (static render) well above the 10,000× target via the
+    block path (round-3 official: 44k; gate ~25% under the low end of the
+    observed 25–62k spread)."""
+    assert static_result["static"]["audio_sec_per_sec"] > 20_000
+
+
+def test_static_direct_fft_beats_target(static_result):
+    """The short-render direct-FFT path — below target through round 2
+    (6.5k), fixed by packing its transforms (round-3: 25.5k)."""
+    assert static_result["static"]["direct_fft_audio_sec_per_sec"] > 10_000
+
+
+def test_brir_partitioned_throughput(static_result):
+    """2048-tap moving BRIR through the fused partitioned kernel
+    (round-3 VERDICT #4 bar: ≥2,000× RT; gate set ~25% under the
+    measured r03 median)."""
+    assert static_result["brir"]["audio_sec_per_sec"] > 2_000
+
+
+def test_scene_aggregates(scene_result):
+    """64-source scene aggregates (round-2 VERDICT weak #3: no scene gate
+    existed — a 2× regression passed CI). Gates ~25–50% under the r03
+    officials (static 150k, moving 57–73k) to absorb tunnel spread."""
+    assert scene_result["scene"]["aggregate_audio_sec_per_sec"] > 75_000
+    assert scene_result["scene_moving"]["aggregate_audio_sec_per_sec"] > 35_000
+
+
+def test_stream_push_budgets(stream_result):
+    """Streaming compute must stay inside the real-time block budget with
+    margin, single and batched (r03: 1.2 ms single, 2.8 ms batched-64
+    against a 5.8 ms budget)."""
+    assert stream_result["stream"]["push_compute_ms"] < 4.0
+    assert stream_result["stream"]["batched64_push_ms"] < 6.0
 
 
 def test_parity_gate_on_chip(traj_result):

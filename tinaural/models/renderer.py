@@ -478,7 +478,14 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     nb, B = xb.shape
     P = -(-(taps + DELAY_PAD) // B)
 
-    use_mm = config.filter_path != "fft"
+    # Long-filter assembly routes to the explicit fft chain: the partition
+    # zoom matmuls grow O(taps·FL) per block and measured SLOWER than the
+    # fft chain once filters span >4 partitions (2048-tap BRIR, B=512,
+    # interleaved on-chip medians: fft 1.13 ms vs matmul 1.32 ms; B=256:
+    # 1.73 vs 1.84). "matmul" means "fastest measured", so it defers to
+    # fft in that regime; "hybrid" still forces the matmul partitions.
+    use_mm = (config.filter_path == "hybrid"
+              or (config.filter_path == "matmul" and P <= 4))
     pack = config.fft_pack != "off"
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         dirs[:, 0], dirs[:, 1])
