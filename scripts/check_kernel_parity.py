@@ -1,5 +1,8 @@
-"""On-chip compiled-kernel parity check: fused_assembly_mac vs the jnp
-chain on the real backend. Prints one JSON line {"snr_db": N}.
+"""On-chip compiled-kernel parity check: every fused Pallas pipeline vs
+the pure-XLA chain on the real backend (Mosaic tiling/precision
+assumptions get their own gate — interpret-mode CI tests can't see them).
+Prints one JSON line {"snr_db": N, ...} where snr_db is the MINIMUM
+across kernels.
 
 Run by tests/test_perf_regression.py in a subprocess (the test suite
 itself pins JAX to CPU in conftest.py).
@@ -18,13 +21,23 @@ import jax
 import jax.numpy as jnp
 
 from tinaural import RenderConfig, load_hrir_set
+from tinaural.models.renderer import (_partitioned_fn, _scene_fn,
+                                      _trajectory_fn)
 from tinaural.ops.filters import DELAY_PAD, filter_spectrum_mm, next_pow2
 from tinaural.ops.interp import interpolate
 from tinaural.ops.pallas_kernels import fused_assembly_mac
 
 
+def _snr(ref, y):
+    ref = np.asarray(ref, np.float64)
+    y = np.asarray(y, np.float64)
+    return float(10 * np.log10(np.sum(np.abs(ref) ** 2)
+                               / np.sum(np.abs(ref - y) ** 2)))
+
+
 def main():
-    cfg = RenderConfig()
+    cfg = RenderConfig()  # fused pipeline default
+    cfg_x = RenderConfig(use_pallas=False)  # pure XLA
     table = load_hrir_set("synthetic")
     tbl = jax.device_put(table)
     taps = np.asarray(table.h).shape[-1]
@@ -32,6 +45,9 @@ def main():
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
     nb = 128
     rng = np.random.default_rng(11)
+    out = {"backend": jax.default_backend()}
+
+    # 1. legacy natural-order assembly+MAC kernel vs the jnp chain
     dirs = np.stack([rng.uniform(0, 360, nb), rng.uniform(-40, 90, nb)],
                     axis=1).astype(np.float32)
     h, d, g = jax.jit(jax.vmap(lambda a, e: interpolate(tbl, a, e, cfg)))(
@@ -41,7 +57,6 @@ def main():
     Xd = jnp.fft.rfft(jnp.asarray(
         rng.standard_normal((nb, n_fft)).astype(np.float32)))
     first = jnp.zeros(nb, jnp.float32).at[0].set(1.0)
-
     Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
                            crossfade=True)
 
@@ -51,15 +66,37 @@ def main():
         Hp = jnp.concatenate([Hc[:1], Hc[:-1]], axis=0)
         return Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
 
-    ref = ref_fn(h, d, g, Xu, Xd)
-    rr = np.asarray(jnp.real(ref), np.float64)
-    ri = np.asarray(jnp.imag(ref), np.float64)
-    yr = np.asarray(jnp.real(Y), np.float64)
-    yi = np.asarray(jnp.imag(Y), np.float64)
-    snr = 10 * np.log10((rr**2 + ri**2).sum()
-                        / ((rr - yr)**2 + (ri - yi)**2).sum())
-    print(json.dumps({"snr_db": float(snr),
-                      "backend": jax.default_backend()}))
+    out["assembly_mac_db"] = _snr(ref_fn(h, d, g, Xu, Xd), Y)
+
+    # 2. fully-fused block pipeline (fwd FFT + assembly + MAC kernel →
+    #    inverse+OLA kernel) vs the pure-XLA trajectory render
+    xb = jnp.asarray(rng.standard_normal((nb, B)).astype(np.float32))
+    dj = jnp.asarray(dirs)
+    out["block_pipeline_db"] = _snr(_trajectory_fn(tbl, xb, dj, cfg_x),
+                                    _trajectory_fn(tbl, xb, dj, cfg))
+
+    # 3. scene mixdown kernel vs the XLA scene path
+    S, nbs = 8, 16
+    xbs = jnp.asarray(rng.standard_normal((S, nbs, B)).astype(np.float32))
+    dsc = jnp.asarray(rng.uniform(0, 360, (S, nbs, 2)).astype(np.float32))
+    out["scene_mix_db"] = _snr(_scene_fn(tbl, xbs, dsc, cfg_x),
+                               _scene_fn(tbl, xbs, dsc, cfg))
+
+    # 4. fused partitioned kernel (BRIR regime, P=9) vs the XLA path
+    t2 = jax.device_put(load_hrir_set("synthetic", taps=2048))
+    Bs = 256
+    cfg_s = RenderConfig(stream_block=Bs)
+    cfg_sx = RenderConfig(stream_block=Bs, use_pallas=False)
+    nbb = 32
+    xb2 = jnp.asarray(rng.standard_normal((nbb, Bs)).astype(np.float32))
+    d2 = jnp.asarray(np.stack([np.linspace(0, 350, nbb) % 360,
+                               np.linspace(-30, 60, nbb)],
+                              axis=1).astype(np.float32))
+    out["partitioned_db"] = _snr(_partitioned_fn(t2, xb2, d2, cfg_sx),
+                                 _partitioned_fn(t2, xb2, d2, cfg_s))
+
+    out["snr_db"] = min(v for k, v in out.items() if k.endswith("_db"))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -91,6 +91,17 @@ def main():
             flat[:, 0], flat[:, 1])
         return jnp.sum(h) + jnp.sum(d) + jnp.sum(g)
 
+    from tinaural.models.renderer import _fused_ola_from_planes
+
+    Fs = (n_fft // 256 + 1) * 128
+    Yfr = jax.device_put(rng.standard_normal((nb, 2, Fs)).astype(np.float32))
+    Yfi = jax.device_put(rng.standard_normal((nb, 2, Fs)).astype(np.float32))
+
+    @partial(jax.jit, static_argnames=("config",))
+    def epi_only(Yr, Yi, config):
+        return jnp.sum(jnp.abs(_fused_ola_from_planes(Yr, Yi, n_fft, B,
+                                                      config)))
+
     HI = jax.lax.Precision.HIGHEST
     DEF = jax.lax.Precision.DEFAULT
     probes = {
@@ -101,6 +112,7 @@ def main():
         "kernel no-crossfade ": lambda: kernel_only(tbl, xbs, dmov, HI,
                                                     crossfade=False),
         "gather only         ": lambda: gather_only(tbl, dmov),
+        "epilogue only nb128 ": lambda: epi_only(Yfr, Yfi, cfg),
     }
     for name, call in probes.items():
         call()
