@@ -107,8 +107,10 @@ def test_stream_push_budgets(stream_result):
 
 
 def test_parity_gate_on_chip(traj_result):
-    """≥60 dB is the BASELINE gate; ≥100 dB is the achieved f32 margin."""
-    assert traj_result["snr"]["snr_db"] >= 100.0
+    """≥60 dB is the BASELINE gate; ≥90 dB is the achieved margin with
+    the default 3-pass split-bf16 kernels (kernel_precision="highest"
+    restores the ~108 dB full-f32 margin at half the throughput)."""
+    assert traj_result["snr"]["snr_db"] >= 90.0
 
 
 def test_pallas_kernel_parity_on_chip():
@@ -131,4 +133,6 @@ def test_pallas_kernel_parity_on_chip():
             continue
     assert res, f"no JSON from parity check: {out.stderr[-400:]}"
     assert res["backend"] != "cpu", "parity gate needs the real chip"
-    assert res["snr_db"] >= 100.0  # measured 122.8 dB on v5e
+    # minimum across all four fused pipelines; ~90+ dB with the default
+    # tri kernels (the legacy f32 kernel itself measures 122.8 dB)
+    assert res["snr_db"] >= 90.0
