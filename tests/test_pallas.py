@@ -399,3 +399,29 @@ def test_fused_partitioned_matches_golden_stream(rng, taps):
                                   dirs[b, 0], dirs[b, 1])
                           for b in range(nb)], -1)
     assert snr_db(ref, y) > 60
+
+
+def test_fused_block_render_single_launch(table, rng):
+    """The single-launch render kernel (spectra core + inverse+OLA
+    composed in VMEM, scene mixdown in the plane accumulator) == golden
+    for trajectory, moving scene, and static scene."""
+    from tinaural.models.renderer import _use_fused_render
+
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    assert _use_fused_render(cfg, table.h.shape[-1], 512, 256, 1)
+    r = BinauralRenderer(table, cfg)
+    x = rng.standard_normal(3000)
+    nb = -(-3000 // 256)
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-30, 60, nb)], 1)
+    ref = golden.render_trajectory(table, x, dirs,
+                                   RenderConfig(block_size=256))
+    assert snr_db(ref, np.asarray(r.render_trajectory(x, dirs))) > 80
+
+    xs = rng.standard_normal((5, 1500))
+    dmov = rng.uniform(0, 360, (5, -(-1500 // 256), 2))
+    ref2 = golden.render_scene(table, xs, dmov, RenderConfig(block_size=256))
+    assert snr_db(ref2, np.asarray(r.render_scene(xs, dmov))) > 80
+
+    sd = np.stack([rng.uniform(0, 360, 5), rng.uniform(-40, 90, 5)], 1)
+    ref3 = golden.render_scene(table, xs, sd, RenderConfig(block_size=256))
+    assert snr_db(ref3, np.asarray(r.render_scene(xs, sd))) > 80

@@ -237,6 +237,37 @@ def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
     return assembly_mac_s_vmem_bytes(taps, n_fft) < (12 << 20)
 
 
+def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
+                      S: int) -> bool:
+    """Route through the SINGLE-launch render kernel (spectra core +
+    inverse+OLA composed in VMEM — block spectra never exist in HBM)."""
+    if not _use_fused_block(config, taps, n_fft, B):
+        return False
+    from ..ops.pallas_kernels import block_render_vmem_bytes
+
+    return block_render_vmem_bytes(taps, n_fft, B, S) < (12 << 20)
+
+
+def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
+                  config: RenderConfig, n_fft: int,
+                  crossfade: bool | None = None) -> jax.Array:
+    """Gather directions and run the single-launch render kernel.
+    xbs: (S, nb, B); dirs: (S, nb, 2) → (2, out) with sources mixed."""
+    from ..ops.pallas_kernels import fused_block_render
+
+    taps = table.h.shape[-1]
+    S, nb, B = xbs.shape
+    flat = dirs.reshape(S * nb, 2)
+    h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
+        flat[:, 0], flat[:, 1])
+    return fused_block_render(
+        h.reshape(S, nb, 2, taps), d.reshape(S, nb, 2),
+        g.reshape(S, nb, 2), xbs, taps, n_fft,
+        crossfade=config.crossfade if crossfade is None else crossfade,
+        interpret=config.pallas_interpret,
+        precision=_kernel_precision(config))
+
+
 def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
                      config: RenderConfig) -> jax.Array:
     """Crossfaded OLA block convolution. xb: (nb, B); dirs: (nb, 2) →
@@ -245,10 +276,13 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
 
+    if _use_fused_render(config, taps, n_fft, B, 1):
+        # North-star path (default): ONE Pallas launch from raw blocks to
+        # overlap-added stereo — in-kernel forward FFT, assembly, MAC,
+        # inverse FFT, OLA; no XLA FFT, no HBM spectra (BASELINE.json:5).
+        return _fused_render(table, xb[None], dirs[None], config, n_fft)
     if _use_fused_block(config, taps, n_fft, B):
-        # Fully-fused path (default): raw blocks → [fused forward FFT +
-        # assembly + MAC] → [fused inverse FFT + OLA]. No XLA FFT runs;
-        # filter spectra never touch HBM (BASELINE.json:5 north star).
+        # Two-launch fused pipeline (spectra kernel → epilogue kernel).
         Ysr, Ysi = _trajectory_spectra_scrambled(table, xb[None],
                                                  dirs[None], config)
         return _fused_ola_from_planes(Ysr[0], Ysi[0], n_fft, B, config)
@@ -435,12 +469,15 @@ def _scene_static_fn(table, xbs, dirs, config):
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
 
     if _use_fused_block(config, taps, n_fft, B):
-        # Static directions through the whole-scene mix kernel: constant
-        # per-block filters make the crossfade the identity, so the
-        # non-crossfade kernel (no Hermitian-mirror path, single MAC) is
-        # exact. Re-assembling the filter per block costs MXU FLOPs the
+        # Static directions through the scene kernels: constant per-block
+        # filters make the crossfade the identity, so the non-crossfade
+        # kernel (no Hermitian-mirror path, single MAC) is exact.
+        # Re-assembling the filter per block costs MXU FLOPs the
         # one-launch structure more than buys back (A/B'd on chip).
         dirs_b = jnp.broadcast_to(dirs[:, None, :], (S, nb, 2))
+        if _use_fused_render(config, taps, n_fft, B, S):
+            return _fused_render(table, xbs, dirs_b, config, n_fft,
+                                 crossfade=False)
         Ysr, Ysi = _scene_spectra_fused(
             table, xbs, dirs_b, config.replace(crossfade=False), n_fft)
         return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
@@ -657,6 +694,9 @@ def _scene_fn(table, xbs, dirs, config):
     fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
 
+    if _use_fused_render(config, taps, n_fft, B, xbs.shape[0]):
+        # Whole scene — spectra, mixdown, inverse, OLA — in ONE launch.
+        return _fused_render(table, xbs, dirs, config, n_fft)
     if fusedb:
         Ysr, Ysi = _scene_spectra_fused(table, xbs, dirs, config, n_fft)
         return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)

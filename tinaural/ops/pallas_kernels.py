@@ -596,24 +596,15 @@ def _forward_fourstep(zr, zi, n1: int, Gh: int, chunk: int,
     return Zf_r, Zf_i, C_r, C_i
 
 
-def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
-                           FLp: int, Fs: int, precision, chunk: int,
-                           mix: bool,
-                           h_ref, d_ref, g_ref, first_ref, xb_ref,
-                           m1_ref, mb_ref, ma_ref, trig_ref,
-                           fwr, fwi, ffr, ffi, ftr, fti,
-                           y0r_o, y0i_o, y1r_o, y1i_o, carry):
-    """One grid step: in-kernel forward FFT of `chunk` raw blocks +
-    filter assembly (2·chunk ear rows) + crossfaded MAC at the
-    scrambled-half bins. Outputs the 4 f32 spectrum planes
-    `fused_epilogue` consumes.
-
-    ``mix`` is the scene-mixdown mode: the grid is (nb/chunk, S) with the
-    source index s iterating FASTEST, the output tile for block-chunk i is
-    revisited (staying VMEM-resident) and accumulated across sources —
-    the matmul-k-loop pattern — and the crossfade Hp carry lives in a
-    per-source scratch slice so consecutive i-steps of the same source
-    chain correctly."""
+def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
+                        FLp: int, Fs: int, precision, chunk: int, cs,
+                        h_ref, d_ref, g_ref, first_ref, xb_ref,
+                        m1_ref, mb_ref, ma_ref, trig_ref,
+                        fwr, fwi, ffr, ffi, ftr, fti, carry):
+    """Shared core of the fused block kernels: forward four-step FFT of
+    the (ramped) raw blocks + filter assembly at the scrambled bins +
+    crossfaded MAC, with the previous filter carried in `carry` rows
+    [cs, cs+1]. → ((y0r, y0i), (y1r, y1i)) plane values, (chunk, Fs)."""
     hp = precision
     dot = _kdot(hp)
 
@@ -648,11 +639,6 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
         [Z[kk * chunk:(kk + 1) * chunk] for kk in range(Gh)], axis=1)
     Xr, Xi = lanes(Zf_r), lanes(Zf_i)  # (chunk, Fs)
 
-    if mix:
-        cs = 2 * pl.program_id(1)  # per-source carry rows [cs, cs+1]
-    else:
-        cs = 0
-
     if crossfade:
         fm = first_ref[...]  # (chunk, 1)
         prev0 = jnp.concatenate([carry[pl.ds(cs, 1)], Hc0[:-1]], axis=0)
@@ -670,11 +656,38 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
             g2r, g2i = 0.5 * (hcr - hpi), 0.5 * (hci + hpr)
             outs.append((Xr * g1r - Xi * g1i + Cr * g2r - Ci * g2i,
                          Xr * g1i + Xi * g1r + Cr * g2i + Ci * g2r))
-    else:
-        outs = []
-        for Hce in (Hc0, Hc1):
-            hcr, hci = Hce[:, :Fs], Hce[:, Fs:]
-            outs.append((Xr * hcr - Xi * hci, Xr * hci + Xi * hcr))
+        return outs
+    outs = []
+    for Hce in (Hc0, Hc1):
+        hcr, hci = Hce[:, :Fs], Hce[:, Fs:]
+        outs.append((Xr * hcr - Xi * hci, Xr * hci + Xi * hcr))
+    return outs
+
+
+def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
+                           FLp: int, Fs: int, precision, chunk: int,
+                           mix: bool,
+                           h_ref, d_ref, g_ref, first_ref, xb_ref,
+                           m1_ref, mb_ref, ma_ref, trig_ref,
+                           fwr, fwi, ffr, ffi, ftr, fti,
+                           y0r_o, y0i_o, y1r_o, y1i_o, carry):
+    """One grid step: in-kernel forward FFT of `chunk` raw blocks +
+    filter assembly (2·chunk ear rows) + crossfaded MAC at the
+    scrambled-half bins. Outputs the 4 f32 spectrum planes
+    `fused_epilogue` consumes.
+
+    ``mix`` is the scene-mixdown mode: the grid is (nb/chunk, S) with the
+    source index s iterating FASTEST, the output tile for block-chunk i is
+    revisited (staying VMEM-resident) and accumulated across sources —
+    the matmul-k-loop pattern — and the crossfade Hp carry lives in a
+    per-source scratch slice so consecutive i-steps of the same source
+    chain correctly."""
+    cs = 2 * pl.program_id(1) if mix else 0
+    outs = _block_spectra_core(
+        crossfade, n1, Gh, B, FLp, Fs, precision, chunk, cs,
+        h_ref, d_ref, g_ref, first_ref, xb_ref,
+        m1_ref, mb_ref, ma_ref, trig_ref,
+        fwr, fwi, ffr, ffi, ftr, fti, carry)
 
     refs = ((y0r_o, y0i_o), (y1r_o, y1i_o))
     if mix:
@@ -873,6 +886,161 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
     Ysr = jnp.stack([y0r[:nb], y1r[:nb]], axis=1)  # (nb, 2, Fs)
     Ysi = jnp.stack([y0i[:nb], y1i[:nb]], axis=1)
     return Ysr, Ysi
+
+# ===================== single-launch block render kernel =====================
+#
+# The full BASELINE.json:5 north star in ONE pallas_call: raw time blocks
+# and gathered (h, d, g) in, overlap-added stereo samples out. Composes the
+# two fused-kernel cores back to back in VMEM — the (nb, 2, Fs) block
+# spectra never exist in HBM at all (the two-kernel pipeline wrote/read
+# ~75 MB of planes per headline call). Scene mode runs the mixdown in a
+# VMEM plane accumulator: grid (nb/chunk, S), sources iterate fastest, and
+# the inverse+OLA fires on each tile's LAST source iteration.
+
+_RENDER_CHUNK = 32
+
+
+def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
+                            n_sources: int) -> int:
+    """VMEM estimate of the single-launch render kernel (both cores'
+    constants + working sets at _RENDER_CHUNK, the plane accumulator, the
+    per-source filter carries, and the OLA tail carry)."""
+    M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    n1 = n_fft // 128
+    Fs = (n1 // 2 + 1) * 128
+    ch = _RENDER_CHUNK
+    consts = (M1p.size + MBp.size + MAs.size + trig.size) * 4 \
+        + (8 * 128 * 128 + 4 * max(n1, 8) * 128) * 4
+    work = ch * (taps_p * 2 + 4 * FLp * 2 + Tp_p * 2 + 2 * 2 * Fs
+                 + n_fft + 4 * n1 * 128 + 4 * (n1 // 2 + 1) * 128
+                 + 8 * Fs + 4 * Fs            # spectra core
+                 + 8 * Fs + 4 * n1 * 128 + 2 * n_fft + 2 * B) * 4  # inverse
+    scr = (4 * ch * Fs + 2 * max(n_sources, 4) * 2 * Fs + 2 * 8 * n_fft) * 4
+    return consts + work + scr
+
+
+def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
+                         k_ola: int, FLp: int, Fs: int, precision,
+                         chunk: int, S: int,
+                         h_ref, d_ref, g_ref, first_ref, xb_ref,
+                         m1_ref, mb_ref, ma_ref, trig_ref,
+                         fwr, fwi, ffr, ffi, ftr, fti,
+                         iwr, iwi, ifr, ifi, itr, iti,
+                         out0, out1,
+                         hcar, a0r, a0i, a1r, a1i, oc0, oc1):
+    """One grid step = `chunk` blocks of source s: spectra core →
+    accumulate into the VMEM plane scratch → (last source) inverse+OLA."""
+    s = pl.program_id(1)
+    outs = _block_spectra_core(
+        crossfade, n1, Gh, B, FLp, Fs, precision, chunk, 2 * s,
+        h_ref, d_ref, g_ref, first_ref, xb_ref,
+        m1_ref, mb_ref, ma_ref, trig_ref,
+        fwr, fwi, ffr, ffi, ftr, fti, hcar)
+    (y0r, y0i), (y1r, y1i) = outs
+    accs = (a0r, a0i, a1r, a1i)
+    vals = (y0r, y0i, y1r, y1i)
+
+    @pl.when(s == 0)
+    def _():
+        for a, v in zip(accs, vals):
+            a[...] = v
+
+    @pl.when(s != 0)
+    def _():
+        for a, v in zip(accs, vals):
+            a[...] = a[...] + v
+
+    init = pl.program_id(0) == 0  # hoisted: program_id is unavailable
+                                  # inside a nested pl.when in interpret
+
+    @pl.when(s == S - 1)
+    def _():
+        _inverse_ola_core(
+            n1, Gh, B, k_ola, chunk, _kdot(precision),
+            (a0r[...], a0i[...], a1r[...], a1i[...]), None,
+            iwr, iwi, ifr, ifi, itr, iti,
+            out0, out1, oc0, oc1, init)
+
+
+@partial(jax.jit,
+         static_argnames=("taps", "n_fft", "crossfade", "interpret",
+                          "precision"))
+def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
+                       xbs: jax.Array,
+                       taps: int, n_fft: int, crossfade: bool = True,
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Single-launch render: raw blocks in, overlap-added stereo out.
+
+    h: (S, nb, 2, taps); d, g: (S, nb, 2); xbs: (S, nb, B) → (2, out)
+    with out = (nb−1)·B + n_fft, sources mixed down (S = 1 is the plain
+    trajectory render). The final OLA tails flush through k−1 appended
+    silent blocks.
+    """
+    S, nb, B = xbs.shape
+    n1, Gh, Fs, k_ola = _epilogue_dims(n_fft, B)
+    M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
+    iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(n_fft)
+
+    nb2 = nb + k_ola - 1  # flush rows
+    ch = _RENDER_CHUNK
+    nbs = _round_up(nb2, ch)
+    pb = nbs - nb
+    nchb = nbs // ch
+    R = 2 * ch
+
+    def rows(z, lanes):  # (S, nb, 2, lanes) → chunk-major (2·S·nbs, lanes)
+        z = jnp.pad(z, [(0, 0), (0, pb)] + [(0, 0)] * (z.ndim - 2))
+        z = z.reshape(S * nchb, ch, 2, -1).transpose(0, 2, 1, 3)
+        return z.reshape(2 * S * nbs, lanes)
+
+    hR = rows(jnp.pad(h, [(0, 0), (0, 0), (0, 0), (0, taps_p - taps)]),
+              taps_p)
+    dR = rows(d[..., None], 1)
+    gR = rows(g[..., None], 1)
+    first = jnp.zeros((S, nbs, 1), jnp.float32).at[:, 0].set(1.0)
+    fm = first.reshape(S * nbs, 1)
+    xbP = jnp.pad(xbs, [(0, 0), (0, pb), (0, 0)]).reshape(S * nbs, B)
+
+    vecB = pl.BlockSpec((ch, B), lambda i, s: (s * nchb + i, 0),
+                        memory_space=pltpu.VMEM)
+    outB = pl.BlockSpec((ch, B), lambda i, s: (i, 0),
+                        memory_space=pltpu.VMEM)
+    col = lambda r: pl.BlockSpec((r, 1), lambda i, s: (s * nchb + i, 0),
+                                 memory_space=pltpu.VMEM)
+    rowblk = lambda n: pl.BlockSpec((R, n), lambda i, s: (s * nchb + i, 0),
+                                    memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    cj = [jnp.asarray(a) for a in (M1p, MBp, MAs, trig,
+                                   fwr, fwi, ffr, ffi, ftr, fti,
+                                   iwr, iwi, ifr, ifi, itr, iti)]
+    y0, y1 = pl.pallas_call(
+        partial(_block_render_kernel, crossfade, n1, Gh, B, k_ola, FLp,
+                Fs, precision, ch, S),
+        grid=(nchb, S),
+        in_specs=[rowblk(taps_p), col(R), col(R), col(ch), vecB]
+        + [const(a) for a in cj],
+        out_specs=(outB, outB),
+        out_shape=(jax.ShapeDtypeStruct((nbs, B), jnp.float32),
+                   jax.ShapeDtypeStruct((nbs, B), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * max(S, 4), 2 * Fs), jnp.float32),  # Hp carries
+            pltpu.VMEM((ch, Fs), jnp.float32),  # plane accumulator ×4
+            pltpu.VMEM((ch, Fs), jnp.float32),
+            pltpu.VMEM((ch, Fs), jnp.float32),
+            pltpu.VMEM((ch, Fs), jnp.float32),
+            pltpu.VMEM((8, n_fft), jnp.float32),  # OLA tail carries
+            pltpu.VMEM((8, n_fft), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hR, dR, gR, fm, xbP, *cj)
+    return jnp.stack([y0[:nb2].reshape(-1), y1[:nb2].reshape(-1)], axis=0)
+
 
 # ==================== fused batched partitioned-conv kernel ==================
 #
@@ -1437,16 +1605,18 @@ def _epilogue_consts(n_fft: int):
 _EPI_CHUNK = 64  # blocks per grid step (working set ≈ 8 MB at n_fft=2048)
 
 
-def _epilogue_kernel(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
-                     precision,
-                     y0r, y0i, y1r, y1i, mask_ref,
-                     wr_ref, wi_ref, wfr_ref, wfi_ref, twr_ref, twi_ref,
-                     out0, out1, car0, car1):
-    """One grid step = `chunk` blocks: ear-pack → inverse four-step → OLA."""
+def _inverse_ola_core(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
+                      dot, planes, mask,
+                      wr_ref, wi_ref, wfr_ref, wfi_ref, twr_ref, twi_ref,
+                      out0, out1, car0, car1, init_carry):
+    """Shared inverse-four-step + OLA core: ear-pack the (chunk, Fs)
+    spectrum planes, reconstruct the Hermitian mirror groups, run the
+    inverse FFT (stage-1 matmuls, twiddles, stage-3 butterflies) and emit
+    `chunk` overlap-added output rows with the VMEM tail carry. Used by
+    the standalone epilogue kernel and fused into the single-launch block
+    render kernel."""
+    a_r, a_i, b_r, b_i = planes
     n_fft = n1 * 128
-    dot = _kdot(precision)
-    a_r, a_i = y0r[...], y0i[...]  # (chunk, Fs) ear-0 planes
-    b_r, b_i = y1r[...], y1i[...]
     # Zy = Y0 + j·Y1 (packed ears); Zyt = conj(Y0) + j·conj(Y1) feeds the
     # Hermitian mirror groups.
     zyr, zyi = a_r - b_i, a_i + b_r
@@ -1488,30 +1658,47 @@ def _epilogue_kernel(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
     z_i = jnp.concatenate([t[1] for t in zg], axis=1)  # ear-1 time
 
     # overlap-add: block c emits z[c, :B] + Σ_j z[c−j, jB:(j+1)B], the
-    # shifted rows coming from the VMEM carry at grid-step boundaries. The
-    # mask (built by the wrapper from `first`) zeroes shifts that would
-    # cross a source boundary in flattened multi-source batches.
+    # shifted rows coming from the VMEM carry at grid-step boundaries.
+    # The mask (built from `first`) zeroes shifts that would cross a
+    # source boundary in flattened multi-source batches; None = allow all
+    # (the carry zero-init covers the stream start).
     km = k_ola - 1
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(init_carry)
     def _():
         car0[...] = jnp.zeros_like(car0)
         car1[...] = jnp.zeros_like(car1)
 
     zt0 = jnp.concatenate([car0[0:km], z_r], axis=0)  # (km+chunk, n_fft)
     zt1 = jnp.concatenate([car1[0:km], z_i], axis=0)
-    m = mask_ref[...]  # (chunk, 8); column j−1 gates shift j
     acc0, acc1 = z_r[:, :B], z_i[:, :B]
     for j in range(1, k_ola):
         s = slice(km - j, km - j + chunk)
         c = slice(j * B, (j + 1) * B)
-        mj = m[:, j - 1:j]
-        acc0 = acc0 + zt0[s, c] * mj
-        acc1 = acc1 + zt1[s, c] * mj
+        if mask is None:
+            acc0 = acc0 + zt0[s, c]
+            acc1 = acc1 + zt1[s, c]
+        else:
+            mj = mask[:, j - 1:j]
+            acc0 = acc0 + zt0[s, c] * mj
+            acc1 = acc1 + zt1[s, c] * mj
     out0[...] = acc0
     out1[...] = acc1
     car0[0:km] = z_r[chunk - km:chunk, :]
     car1[0:km] = z_i[chunk - km:chunk, :]
+
+
+def _epilogue_kernel(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
+                     precision,
+                     y0r, y0i, y1r, y1i, mask_ref,
+                     wr_ref, wi_ref, wfr_ref, wfi_ref, twr_ref, twi_ref,
+                     out0, out1, car0, car1):
+    """One grid step = `chunk` blocks: ear-pack → inverse four-step → OLA."""
+    _inverse_ola_core(
+        n1, Gh, B, k_ola, chunk, _kdot(precision),
+        (y0r[...], y0i[...], y1r[...], y1i[...]), mask_ref[...],
+        wr_ref, wi_ref, wfr_ref, wfi_ref, twr_ref, twi_ref,
+        out0, out1, car0, car1, pl.program_id(0) == 0)
 
 
 @partial(jax.jit,
