@@ -47,6 +47,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fft-impl", choices=["xla", "matmul"], default="xla",
                    help="packed-FFT implementation (matmul = two-stage "
                         "Cooley-Tukey on the MXU; same math)")
+    p.add_argument("--kernel-precision", choices=["tri", "highest"],
+                   default="tri",
+                   help="fused-kernel matmul precision (tri = 3-pass "
+                        "split-bf16, ~100 dB and 2x faster; highest = "
+                        "full f32)")
+    p.add_argument("--no-fuse-epilogue", action="store_true",
+                   help="keep the irfft+OLA epilogue in XLA instead of "
+                        "the fused inverse-FFT kernel")
 
 
 def _config(args) -> RenderConfig:
@@ -59,6 +67,8 @@ def _config(args) -> RenderConfig:
         filter_path=getattr(args, "filter_path", "matmul"),
         fft_pack=getattr(args, "fft_pack", "both"),
         fft_impl=getattr(args, "fft_impl", "xla"),
+        kernel_precision=getattr(args, "kernel_precision", "tri"),
+        fuse_epilogue=not getattr(args, "no_fuse_epilogue", False),
     )
 
 
