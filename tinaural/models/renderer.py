@@ -237,6 +237,11 @@ def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
     return assembly_mac_s_vmem_bytes(taps, n_fft) < (12 << 20)
 
 
+# Rough per-table-row VMEM work (bytes/4) of the in-kernel gather's
+# one-hot weight matrix at _RENDER_CHUNK rows incl. the tri hi/lo splits.
+_RENDER_GATHER_WORK = 32
+
+
 def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
                       S: int) -> bool:
     """Route through the SINGLE-launch render kernel (spectra core +
@@ -251,21 +256,50 @@ def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
                   config: RenderConfig, n_fft: int,
                   crossfade: bool | None = None) -> jax.Array:
-    """Gather directions and run the single-launch render kernel.
-    xbs: (S, nb, B); dirs: (S, nb, 2) → (2, out) with sources mixed."""
-    from ..ops.pallas_kernels import fused_block_render
+    """Run the single-launch render kernel. xbs: (S, nb, B); dirs:
+    (S, nb, 2) → (2, out) with sources mixed.
+
+    When the padded HRIR table fits VMEM (typical measured sets: ~1 MB),
+    only the tiny per-block neighbor indices/weights go to the kernel and
+    the 4-neighbor gather+lerp runs in-kernel as a weighted one-hot
+    matmul — no XLA gather, no HBM h-row traffic. Oversize tables (dense
+    SOFA grids) fall back to the XLA gather feeding the same kernel."""
+    from ..ops.interp import direction_weights
+    from ..ops.pallas_kernels import (block_render_vmem_bytes,
+                                     fused_block_render, gather_tables)
 
     taps = table.h.shape[-1]
     S, nb, B = xbs.shape
+    E, A = table.h.shape[0], table.h.shape[1]
+    rows_p = -(-(E * A) // 128) * 128
+    cf = config.crossfade if crossfade is None else crossfade
+    kw = dict(crossfade=cf, interpret=config.pallas_interpret,
+              precision=_kernel_precision(config))
     flat = dirs.reshape(S * nb, 2)
+
+    taps_p = -(-taps // 128) * 128
+    table_bytes = rows_p * (2 * taps_p + 128 + 3 * _RENDER_GATHER_WORK) * 4
+    if (rows_p <= 2048
+            and block_render_vmem_bytes(taps, n_fft, B, S) + table_bytes
+            < (12 << 20)):
+        eidx, aidx, wts = jax.vmap(lambda a, e: direction_weights(
+            table.elevs, table.az_counts, a, e, config.interp))(
+                flat[:, 0], flat[:, 1])
+        idx = (eidx * A + aidx).astype(jnp.float32).reshape(S, nb, 4)
+        ht, dg = gather_tables(table.h, table.delays, table.gains, taps,
+                               n_fft)
+        return fused_block_render(
+            None, None, None, xbs, taps, n_fft,
+            idx=idx, w=wts.astype(jnp.float32).reshape(S, nb, 4),
+            ht=ht, dg=dg,
+            apply_itd=bool(table.decomposed and config.apply_itd),
+            apply_ild=bool(table.decomposed and config.apply_ild), **kw)
+
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         flat[:, 0], flat[:, 1])
     return fused_block_render(
         h.reshape(S, nb, 2, taps), d.reshape(S, nb, 2),
-        g.reshape(S, nb, 2), xbs, taps, n_fft,
-        crossfade=config.crossfade if crossfade is None else crossfade,
-        interpret=config.pallas_interpret,
-        precision=_kernel_precision(config))
+        g.reshape(S, nb, 2), xbs, taps, n_fft, **kw)
 
 
 def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,

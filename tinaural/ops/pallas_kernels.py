@@ -596,23 +596,61 @@ def _forward_fourstep(zr, zi, n1: int, Gh: int, chunk: int,
     return Zf_r, Zf_i, C_r, C_i
 
 
+def _vmem_gather(dot, idx_ref, w_ref, ht_ref, dg_ref, chunk: int,
+                 taps_p: int, apply_itd: bool, apply_ild: bool):
+    """In-kernel HRTF gather+lerp: the whole (padded) table rides VMEM and
+    the 4-neighbor bilinear gather is ONE weighted one-hot matmul — no
+    XLA gather op, no HBM h-row traffic, no chunk-major layout glue.
+    idx/w: (chunk, 8) f32 cols 0..3 = flat neighbor rows / weights;
+    ht: (rows_p, 2·taps_p) [ear0 | ear1] shapes; dg: (rows_p, 128) cols
+    [d0, d1, g0, g1]. → (h (2·chunk, taps_p), d (2·chunk, 1),
+    g (2·chunk, 1)) in the assembly chain's ear-major row layout."""
+    rows_p = ht_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, rows_p),
+                                    1).astype(jnp.float32)
+    idx, w = idx_ref[...], w_ref[...]
+    Wg = None
+    for k in range(4):
+        t = jnp.where(iota == idx[:, k:k + 1], w[:, k:k + 1], 0.0)
+        Wg = t if Wg is None else Wg + t
+    hg = dot(Wg, ht_ref[...])  # (chunk, 2·taps_p)
+    h = jnp.concatenate([hg[:, :taps_p], hg[:, taps_p:]], axis=0)
+    if apply_itd or apply_ild:
+        # delays feed a phase ramp, so their lerp is precision-critical
+        # (split-bf16 here measured ~82 dB end-to-end vs ~100); this
+        # matmul is 4 MFLOP — full f32 always.
+        dgg = jnp.dot(Wg, dg_ref[...], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (chunk, 128)
+    if apply_itd:
+        d = jnp.concatenate([dgg[:, 0:1], dgg[:, 1:2]], axis=0)
+    else:
+        d = jnp.full((2 * chunk, 1), ALIGN_GUARD, jnp.float32)
+    if apply_ild:
+        g = jnp.concatenate([dgg[:, 2:3], dgg[:, 3:4]], axis=0)
+    else:
+        g = jnp.ones((2 * chunk, 1), jnp.float32)
+    return h, d, g
+
+
 def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
                         FLp: int, Fs: int, precision, chunk: int, cs,
-                        h_ref, d_ref, g_ref, first_ref, xb_ref,
+                        h_val, d_val, g_val, first_ref, xb_ref,
                         m1_ref, mb_ref, ma_ref, trig_ref,
                         fwr, fwi, ffr, ffi, ftr, fti, carry):
     """Shared core of the fused block kernels: forward four-step FFT of
     the (ramped) raw blocks + filter assembly at the scrambled bins +
     crossfaded MAC, with the previous filter carried in `carry` rows
-    [cs, cs+1]. → ((y0r, y0i), (y1r, y1i)) plane values, (chunk, Fs)."""
+    [cs, cs+1]. h/d/g are VALUES ((2·chunk, ·) ear-major rows — read
+    from refs or produced by `_vmem_gather`).
+    → ((y0r, y0i), (y1r, y1i)) plane values, (chunk, Fs)."""
     hp = precision
     dot = _kdot(hp)
 
     # ---- filter assembly at scrambled bins (same chain as
     # _assembly_mac_kernel; only MA's column layout differs)
-    G = dot(h_ref[...], m1_ref[...])
-    c, s = _ramp_cos_sin(d_ref[...], trig_ref)
-    g = g_ref[...]
+    G = dot(h_val, m1_ref[...])
+    c, s = _ramp_cos_sin(d_val, trig_ref)
+    g = g_val
     Gr, Gi = G[:, :FLp], G[:, FLp:]
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
@@ -685,7 +723,7 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
     cs = 2 * pl.program_id(1) if mix else 0
     outs = _block_spectra_core(
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, cs,
-        h_ref, d_ref, g_ref, first_ref, xb_ref,
+        h_ref[...], d_ref[...], g_ref[...], first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
         fwr, fwi, ffr, ffi, ftr, fti, carry)
 
@@ -922,19 +960,32 @@ def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
 
 def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
                          k_ola: int, FLp: int, Fs: int, precision,
-                         chunk: int, S: int,
-                         h_ref, d_ref, g_ref, first_ref, xb_ref,
+                         chunk: int, S: int, gtab,
+                         r1, r2, r3, first_ref, xb_ref,
                          m1_ref, mb_ref, ma_ref, trig_ref,
                          fwr, fwi, ffr, ffi, ftr, fti,
                          iwr, iwi, ifr, ifi, itr, iti,
-                         out0, out1,
-                         hcar, a0r, a0i, a1r, a1i, oc0, oc1):
-    """One grid step = `chunk` blocks of source s: spectra core →
-    accumulate into the VMEM plane scratch → (last source) inverse+OLA."""
+                         *rest):
+    """One grid step = `chunk` blocks of source s: (optional in-kernel
+    HRTF gather) → spectra core → accumulate into the VMEM plane scratch
+    → (last source) inverse+OLA.
+
+    ``gtab`` = None: r1/r2/r3 are gathered (h, d, g) row refs. Otherwise
+    gtab = (taps_p, apply_itd, apply_ild): r1/r2 are the per-block
+    neighbor index/weight cols, r3 the VMEM-resident padded HRIR table,
+    and `rest` leads with the delay/gain table."""
+    if gtab is not None:
+        taps_p, itd, ild = gtab
+        dg_ref, *rest = rest
+        h, d, g = _vmem_gather(_kdot(precision), r1, r2, r3, dg_ref,
+                               chunk, taps_p, itd, ild)
+    else:
+        h, d, g = r1[...], r2[...], r3[...]
+    out0, out1, hcar, a0r, a0i, a1r, a1i, oc0, oc1 = rest
     s = pl.program_id(1)
     outs = _block_spectra_core(
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, 2 * s,
-        h_ref, d_ref, g_ref, first_ref, xb_ref,
+        h, d, g, first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
         fwr, fwi, ffr, ffi, ftr, fti, hcar)
     (y0r, y0i), (y1r, y1i) = outs
@@ -965,16 +1016,20 @@ def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
 
 @partial(jax.jit,
          static_argnames=("taps", "n_fft", "crossfade", "interpret",
-                          "precision"))
-def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
-                       xbs: jax.Array,
+                          "precision", "apply_itd", "apply_ild"))
+def fused_block_render(h, d, g, xbs: jax.Array,
                        taps: int, n_fft: int, crossfade: bool = True,
                        interpret: bool = False,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       idx=None, w=None, ht=None, dg=None,
+                       apply_itd: bool = True, apply_ild: bool = True):
     """Single-launch render: raw blocks in, overlap-added stereo out.
 
-    h: (S, nb, 2, taps); d, g: (S, nb, 2); xbs: (S, nb, B) → (2, out)
-    with out = (nb−1)·B + n_fft, sources mixed down (S = 1 is the plain
+    Two input modes: pre-gathered filters — h: (S, nb, 2, taps); d, g:
+    (S, nb, 2) — or in-kernel gather (pass h = d = g = None and idx, w:
+    (S, nb, 4) flat neighbor rows/weights + ht, dg: the padded VMEM
+    tables from `gather_tables`). xbs: (S, nb, B) → (2, out) with
+    out = (nb−1)·B + n_fft, sources mixed down (S = 1 is the plain
     trajectory render). The final OLA tails flush through k−1 appended
     silent blocks.
     """
@@ -984,6 +1039,7 @@ def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(n_fft)
+    gtab = None if idx is None else (taps_p, apply_itd, apply_ild)
 
     nb2 = nb + k_ola - 1  # flush rows
     ch = _RENDER_CHUNK
@@ -997,10 +1053,6 @@ def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
         z = z.reshape(S * nchb, ch, 2, -1).transpose(0, 2, 1, 3)
         return z.reshape(2 * S * nbs, lanes)
 
-    hR = rows(jnp.pad(h, [(0, 0), (0, 0), (0, 0), (0, taps_p - taps)]),
-              taps_p)
-    dR = rows(d[..., None], 1)
-    gR = rows(g[..., None], 1)
     first = jnp.zeros((S, nbs, 1), jnp.float32).at[:, 0].set(1.0)
     fm = first.reshape(S * nbs, 1)
     xbP = jnp.pad(xbs, [(0, 0), (0, pb), (0, 0)]).reshape(S * nbs, B)
@@ -1009,8 +1061,8 @@ def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
                         memory_space=pltpu.VMEM)
     outB = pl.BlockSpec((ch, B), lambda i, s: (i, 0),
                         memory_space=pltpu.VMEM)
-    col = lambda r: pl.BlockSpec((r, 1), lambda i, s: (s * nchb + i, 0),
-                                 memory_space=pltpu.VMEM)
+    col = lambda r, n=1: pl.BlockSpec((r, n), lambda i, s: (s * nchb + i, 0),
+                                      memory_space=pltpu.VMEM)
     rowblk = lambda n: pl.BlockSpec((R, n), lambda i, s: (s * nchb + i, 0),
                                     memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0, 0),
@@ -1019,12 +1071,28 @@ def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
     cj = [jnp.asarray(a) for a in (M1p, MBp, MAs, trig,
                                    fwr, fwi, ffr, ffi, ftr, fti,
                                    iwr, iwi, ifr, ifi, itr, iti)]
+    if gtab is None:
+        hR = rows(jnp.pad(h, [(0, 0), (0, 0), (0, 0), (0, taps_p - taps)]),
+                  taps_p)
+        dR = rows(d[..., None], 1)
+        gR = rows(g[..., None], 1)
+        lead = [hR, dR, gR]
+        lead_specs = [rowblk(taps_p), col(R), col(R)]
+        tail, tail_specs = [], []
+    else:
+        def pad8(z):  # (S, nb, 4) → (S·nbs, 8)
+            z = jnp.pad(z, [(0, 0), (0, pb), (0, 4)])
+            return z.reshape(S * nbs, 8)
+
+        lead = [pad8(idx), pad8(w), ht]
+        lead_specs = [col(ch, 8), col(ch, 8), const(ht)]
+        tail, tail_specs = [dg], [const(dg)]
     y0, y1 = pl.pallas_call(
         partial(_block_render_kernel, crossfade, n1, Gh, B, k_ola, FLp,
-                Fs, precision, ch, S),
+                Fs, precision, ch, S, gtab),
         grid=(nchb, S),
-        in_specs=[rowblk(taps_p), col(R), col(R), col(ch), vecB]
-        + [const(a) for a in cj],
+        in_specs=lead_specs + [col(ch), vecB]
+        + [const(a) for a in cj] + tail_specs,
         out_specs=(outB, outB),
         out_shape=(jax.ShapeDtypeStruct((nbs, B), jnp.float32),
                    jax.ShapeDtypeStruct((nbs, B), jnp.float32)),
@@ -1038,8 +1106,30 @@ def fused_block_render(h: jax.Array, d: jax.Array, g: jax.Array,
             pltpu.VMEM((8, n_fft), jnp.float32),
         ],
         interpret=interpret,
-    )(hR, dR, gR, fm, xbP, *cj)
+    )(*lead, fm, xbP, *cj, *tail)
     return jnp.stack([y0[:nb2].reshape(-1), y1[:nb2].reshape(-1)], axis=0)
+
+
+def gather_tables(h: jax.Array, delays: jax.Array, gains: jax.Array,
+                  taps: int, n_fft: int):
+    """Pad the HRIR table into the in-kernel gather's VMEM layout.
+
+    h: (E, A, 2, taps); delays, gains: (E, A, 2) → (ht (rows_p, 2·taps_p)
+    [ear0 | ear1] lane-aligned, dg (rows_p, 128) cols [d0, d1, g0, g1]).
+    """
+    _, _, _, _, dims = _scrambled_assembly_mats(taps, n_fft)
+    taps_p = dims[7]
+    E, A = h.shape[0], h.shape[1]
+    rows = E * A
+    rows_p = _round_up(rows, 128)
+    hf = h.reshape(rows, 2, taps)
+    ear = lambda e: jnp.pad(hf[:, e], [(0, rows_p - rows),
+                                       (0, taps_p - taps)])
+    ht = jnp.concatenate([ear(0), ear(1)], axis=1)
+    dgc = jnp.zeros((rows_p, 128), jnp.float32)
+    dgc = dgc.at[:rows, 0:2].set(delays.reshape(rows, 2))
+    dgc = dgc.at[:rows, 2:4].set(gains.reshape(rows, 2))
+    return ht, dgc
 
 
 # ==================== fused batched partitioned-conv kernel ==================
