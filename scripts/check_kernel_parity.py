@@ -29,10 +29,19 @@ from tinaural.ops.pallas_kernels import fused_assembly_mac
 
 
 def _snr(ref, y):
-    ref = np.asarray(ref, np.float64)
-    y = np.asarray(y, np.float64)
-    return float(10 * np.log10(np.sum(np.abs(ref) ** 2)
-                               / np.sum(np.abs(ref - y) ** 2)))
+    # axon cannot d2h complex arrays — split re/im ON DEVICE first
+    # (machine quirk, see CLAUDE.md), then compare in f64 on host.
+    def planes(z):
+        if jnp.iscomplexobj(z):
+            return (np.asarray(jnp.real(z), np.float64),
+                    np.asarray(jnp.imag(z), np.float64))
+        return (np.asarray(z, np.float64), 0.0)
+
+    rr, ri = planes(ref)
+    yr, yi = planes(y)
+    return float(10 * np.log10(
+        (np.sum(rr**2) + np.sum(ri**2))
+        / (np.sum((rr - yr) ** 2) + np.sum((ri - yi) ** 2))))
 
 
 def main():
