@@ -100,6 +100,7 @@ def _fused_batch_step(table: HrirTable, state: StreamState, xbs: jax.Array,
     """Batched streaming step as ONE Pallas launch (state leaves carry a
     leading S axis). Same math as `_step_core` (parity-tested); the XLA
     step is ~15 dispatch-bound small ops at real-time block sizes."""
+    from ..models.renderer import _kernel_precision
     from ..ops.pallas_kernels import fused_stream_step
 
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(azs, els)
@@ -107,7 +108,8 @@ def _fused_batch_step(table: HrirTable, state: StreamState, xbs: jax.Array,
         h, d, g, xbs, state.prev_in, state.fdl_re, state.fdl_im,
         state.prev_h_re, state.prev_h_im, state.started,
         table.h.shape[-1], config.stream_block,
-        crossfade=config.crossfade, interpret=config.pallas_interpret)
+        crossfade=config.crossfade, interpret=config.pallas_interpret,
+        precision=_kernel_precision(config))
     S = xbs.shape[0]
     new_state = StreamState(prev_in=xbs, fdl_re=fr, fdl_im=fi,
                             prev_h_re=pr, prev_h_im=pi,

@@ -1425,11 +1425,10 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
     """One grid step = Sp streams (2·Sp filter rows laid out
     [ear0 streams; ear1 streams]); streams are independent, so the grid
     carries no cross-step state and batch size is unbounded."""
-    hp = precision
+    dotp = _kdot(precision)
 
     frame = jnp.concatenate([prev_in[...], xb_ref[...]], axis=1)  # (Sp, 2B)
-    X = jnp.dot(frame, dft_ref[...], preferred_element_type=jnp.float32,
-                precision=hp)  # (Sp, 2F2p)
+    X = dotp(frame, dft_ref[...])  # (Sp, 2F2p)
     xre, xim = X[:, :F2p], X[:, F2p:]
 
     if P > 1:
@@ -1440,15 +1439,13 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
     nf_re[...] = fr
     nf_im[...] = fi
 
-    G = jnp.dot(h_ref[...], m1_ref[...], preferred_element_type=jnp.float32,
-                precision=hp)  # (2Sp, 2FLp)
+    G = dotp(h_ref[...], m1_ref[...])  # (2Sp, 2FLp)
     c, s = _ramp_cos_sin(d_ref[...], trig_ref)
     g = g_ref[...]
     Gr, Gi = G[:, :FLp], G[:, FLp:]
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
-    H = jnp.dot(G2, m2_ref[...], preferred_element_type=jnp.float32,
-                precision=hp)  # (2Sp, P·2F2p)
+    H = dotp(G2, m2_ref[...])  # (2Sp, P·2F2p)
     nh_out[...] = H
 
     fr2 = jnp.concatenate([fr, fr], axis=0)  # FDL copied per ear row group
@@ -1475,15 +1472,13 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
         Yall = jnp.concatenate(
             [jnp.concatenate([ynr, yni], axis=1),
              jnp.concatenate([ypr, ypi], axis=1)], axis=0)  # (4Sp, 2F2p)
-        yt = jnp.dot(Yall, di_ref[...], preferred_element_type=jnp.float32,
-                     precision=hp)  # (4Sp, B)
+        yt = dotp(Yall, di_ref[...])  # (4Sp, B)
         ramp = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
                 .astype(jnp.float32) + 0.5) / B  # Mosaic: iota must be int
         y_out[...] = ramp * yt[:2 * Sp] + (1.0 - ramp) * yt[2 * Sp:]
     else:
         Yall = jnp.concatenate([ynr, yni], axis=1)
-        y_out[...] = jnp.dot(Yall, di_ref[...],
-                             preferred_element_type=jnp.float32, precision=hp)
+        y_out[...] = dotp(Yall, di_ref[...])
 
 
 def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
