@@ -425,3 +425,58 @@ def test_fused_block_render_single_launch(table, rng):
     sd = np.stack([rng.uniform(0, 360, 5), rng.uniform(-40, 90, 5)], 1)
     ref3 = golden.render_scene(table, xs, sd, RenderConfig(block_size=256))
     assert snr_db(ref3, np.asarray(r.render_scene(xs, sd))) > 80
+
+
+def test_fused_block_render_pregathered_mode(table, rng):
+    """The single-launch kernel's pre-gathered (h, d, g) input mode — the
+    fallback for tables too large for the in-kernel VMEM gather — must
+    match the gather mode exactly."""
+    from tinaural.models.renderer import next_pow2
+    from tinaural.ops.filters import DELAY_PAD
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_block_render
+
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    S, nb, B = 2, 6, 256
+    taps = table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    xbs = rng.standard_normal((S, nb, B)).astype(np.float32)
+    dirs = rng.uniform(0, 360, (S * nb, 2)).astype(np.float32)
+    tb = jax.device_put(table)
+    h, d, g = jax.vmap(lambda a, e: interpolate(tb, a, e, cfg))(
+        jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]))
+    y = fused_block_render(h.reshape(S, nb, 2, taps), d.reshape(S, nb, 2),
+                           g.reshape(S, nb, 2), jnp.asarray(xbs), taps,
+                           n_fft, interpret=True)
+    # reference: XLA spectra chain + packed epilogue, mixed over sources
+    from tinaural.models.renderer import (_ola_ears,
+                                          _trajectory_spectra_xla)
+    cfg_x = RenderConfig(block_size=B, use_pallas=False)
+    Y = sum(_trajectory_spectra_xla(tb, jnp.asarray(xbs[s]),
+                                    jnp.asarray(dirs.reshape(S, nb, 2)[s]),
+                                    cfg_x) for s in range(S))
+    ref = _ola_ears(Y, n_fft, B, cfg_x)
+    assert snr_db(np.asarray(ref), np.asarray(y)[:, :ref.shape[-1]]) > 100
+
+
+def test_fused_partitioned_no_crossfade(rng):
+    """crossfade=False path of the fused partitioned kernel (single MAC,
+    no previous-filter row) vs the golden stream with crossfade off."""
+    from tinaural.data import load_hrir_set
+
+    tb = load_hrir_set("synthetic", taps=512)
+    B = 256
+    cfg = RenderConfig(stream_block=B, crossfade=False, use_pallas=True,
+                       pallas_interpret=True)
+    r = BinauralRenderer(tb, cfg)
+    N = 5 * B
+    x = rng.standard_normal(N).astype(np.float32)
+    nb = N // B
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-30, 50, nb)], 1)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gs = golden.GoldenStream(tb, RenderConfig(stream_block=B,
+                                              crossfade=False))
+    ref = np.concatenate([gs.push(x[b * B:(b + 1) * B].astype(np.float64),
+                                  dirs[b, 0], dirs[b, 1])
+                          for b in range(nb)], -1)
+    assert snr_db(ref, y) > 60
