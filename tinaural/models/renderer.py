@@ -245,12 +245,15 @@ _RENDER_GATHER_WORK = 32
 def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
                       S: int) -> bool:
     """Route through the SINGLE-launch render kernel (spectra core +
-    inverse+OLA composed in VMEM — block spectra never exist in HBM)."""
+    inverse+OLA composed in VMEM — block spectra never exist in HBM).
+    The 15 MB bound is empirical: the estimate double-counts buffers
+    Mosaic's liveness reuses — 14.5 MB-estimated configs (64-src scene at
+    B=1024 with the in-kernel gather) compile and run on v5e."""
     if not _use_fused_block(config, taps, n_fft, B):
         return False
     from ..ops.pallas_kernels import block_render_vmem_bytes
 
-    return block_render_vmem_bytes(taps, n_fft, B, S) < (12 << 20)
+    return block_render_vmem_bytes(taps, n_fft, B, S) < (15 << 20)
 
 
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
@@ -281,7 +284,7 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     table_bytes = rows_p * (2 * taps_p + 128 + 3 * _RENDER_GATHER_WORK) * 4
     if (rows_p <= 2048
             and block_render_vmem_bytes(taps, n_fft, B, S) + table_bytes
-            < (12 << 20)):
+            < (15 << 20)):
         eidx, aidx, wts = jax.vmap(lambda a, e: direction_weights(
             table.elevs, table.az_counts, a, e, config.interp))(
                 flat[:, 0], flat[:, 1])

@@ -621,12 +621,19 @@ def _vmem_gather(dot, idx_ref, w_ref, ht_ref, dg_ref, chunk: int,
         # matmul is 4 MFLOP — full f32 always.
         dgg = jnp.dot(Wg, dg_ref[...], preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)  # (chunk, 128)
+        # extract columns via masked reductions: slicing lanes 1..3
+        # directly yields tiles at mismatched lane offsets, whose row
+        # concat Mosaic cannot lower ("offset mismatch on non-concat
+        # dimension" — found by the on-chip compile check).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        colv = lambda k: jnp.sum(jnp.where(lane == k, dgg, 0.0), axis=1,
+                                 keepdims=True)  # (chunk, 1), offset 0
     if apply_itd:
-        d = jnp.concatenate([dgg[:, 0:1], dgg[:, 1:2]], axis=0)
+        d = jnp.concatenate([colv(0), colv(1)], axis=0)
     else:
         d = jnp.full((2 * chunk, 1), ALIGN_GUARD, jnp.float32)
     if apply_ild:
-        g = jnp.concatenate([dgg[:, 2:3], dgg[:, 3:4]], axis=0)
+        g = jnp.concatenate([colv(2), colv(3)], axis=0)
     else:
         g = jnp.ones((2 * chunk, 1), jnp.float32)
     return h, d, g
