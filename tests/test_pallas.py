@@ -10,22 +10,9 @@ import jax.numpy as jnp
 
 from tinaural.config import RenderConfig
 from tinaural.models import BinauralRenderer
-from tinaural.ops.pallas_kernels import fused_spectral_mac
 from tinaural.reference import golden
 
 from conftest import snr_db
-
-
-def test_fused_spectral_mac_matches_jnp(rng):
-    nb, F = 6, 1025
-    mk = lambda *s: (rng.standard_normal(s) + 1j * rng.standard_normal(s)).astype(
-        np.complex64)
-    Xu, Xd = mk(nb, F), mk(nb, F)
-    Hc, Hp = mk(nb, 2, F), mk(nb, 2, F)
-    want = Xu[:, None, :] * Hc + Xd[:, None, :] * Hp
-    got = fused_spectral_mac(jnp.asarray(Xu), jnp.asarray(Xd), jnp.asarray(Hc),
-                             jnp.asarray(Hp), interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
 def test_trajectory_with_pallas_kernel(table, rng):

@@ -163,10 +163,10 @@ def test_jit_no_recompile_across_directions(table, rng):
     r = BinauralRenderer(table, RenderConfig())
     x = rng.standard_normal(1024)
     r.render(x, 10.0, 0.0)
-    misses0 = _static_fn._cache_size()
+    misses0 = _static_fn.jitted._cache_size()
     r.render(x, 123.4, -20.0)
     r.render(x, 77.7, 55.5)
-    assert _static_fn._cache_size() == misses0
+    assert _static_fn.jitted._cache_size() == misses0
 
 
 def test_render_batch_matches_individual(table, rng):

@@ -69,20 +69,27 @@ def capacity_result():
 
 
 def _gated(value, floor, group, *path, larger_is_better=True):
-    """Assert a throughput/latency floor with ONE retake on failure: this
-    tunnel's cross-process timings swing up to 4× (docs/BENCH_NOTES.md
-    "Measurement reality"), and a single outlier run should not fail CI
-    while a real regression — which reproduces — still does."""
+    """Assert a throughput/latency floor with a MEDIAN-OF-3 on failure:
+    this tunnel's cross-process timings swing up to 4× (docs/BENCH_NOTES.md
+    "Measurement reality"), so one outlier run should not fail CI — but a
+    best-of-two retake would also let a persistent regression that jitters
+    above the floor half the time pass ~75% of runs (round-3 VERDICT weak
+    #1). The median of the original + two retakes keeps detection
+    monotone: a regression must beat the floor in 2 of 3 runs to pass."""
     ok = value > floor if larger_is_better else value < floor
     if ok:
         return
-    res = _run_group(group)
-    for k in path:
-        res = res[k]
+    vals = [value]
+    for _ in range(2):
+        res = _run_group(group)
+        for k in path:
+            res = res[k]
+        vals.append(res)
+    med = float(np.median(vals))
     if larger_is_better:
-        assert max(value, res) > floor, (value, res, floor)
+        assert med > floor, (vals, floor)
     else:
-        assert min(value, res) < floor, (value, res, floor)
+        assert med < floor, (vals, floor)
 
 
 def test_trajectory_beats_10000x_with_margin(traj_result):

@@ -37,9 +37,8 @@ def _t_eff(table: HrirTable) -> int:
 # --------------------------------------------------------------- jitted core
 
 
-@partial(jax.jit, static_argnames=("config", "n"))
-def _static_fn(table: HrirTable, x: jax.Array, az: jax.Array, el: jax.Array,
-               config: RenderConfig, n: int) -> jax.Array:
+def _static_core(table: HrirTable, x: jax.Array, az: jax.Array, el: jax.Array,
+                 config: RenderConfig, n: int) -> jax.Array:
     """Direct FFT convolution at one direction → (2, n) circular frame."""
     h, d, g = interpolate(table, az, el, config)
     h_eff = effective_filter(h, d, g, table.h.shape[-1])  # (2, T_eff)
@@ -179,9 +178,9 @@ def _use_fused_kernel(config: RenderConfig, taps: int, n_fft: int) -> bool:
         return False
     if jax.default_backend() != "tpu" and not config.pallas_interpret:
         return False  # Mosaic kernels are TPU-only; others use the jnp path
-    from ..ops.pallas_kernels import assembly_mac_vmem_bytes
+    from ..ops import vmem
 
-    return assembly_mac_vmem_bytes(taps, n_fft) < (12 << 20)
+    return vmem.fits_assembly_mac(taps, n_fft)
 
 
 def _trajectory_spectra_xla(table: HrirTable, xb: jax.Array, dirs: jax.Array,
@@ -217,9 +216,9 @@ def _use_fused_partitioned(config: RenderConfig, B: int, P: int) -> bool:
     n1p = (2 * B) // 128
     if (2 * B) % 128 != 0 or n1p not in (4, 8, 16):
         return False
-    from ..ops.pallas_kernels import partitioned_step_vmem_bytes
+    from ..ops import vmem
 
-    return partitioned_step_vmem_bytes(B, P) < (12 << 20)
+    return vmem.fits_partitioned(B, P)
 
 
 def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
@@ -232,9 +231,9 @@ def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
         return False
     if B % 128 != 0 or B > n_fft:
         return False
-    from ..ops.pallas_kernels import assembly_mac_s_vmem_bytes
+    from ..ops import vmem
 
-    return assembly_mac_s_vmem_bytes(taps, n_fft) < (12 << 20)
+    return vmem.fits_block_step(taps, n_fft)
 
 
 # Rough per-table-row VMEM work (bytes/4) of the in-kernel gather's
@@ -246,14 +245,12 @@ def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
                       S: int) -> bool:
     """Route through the SINGLE-launch render kernel (spectra core +
     inverse+OLA composed in VMEM — block spectra never exist in HBM).
-    The 15 MB bound is empirical: the estimate double-counts buffers
-    Mosaic's liveness reuses — 14.5 MB-estimated configs (64-src scene at
-    B=1024 with the in-kernel gather) compile and run on v5e."""
+    Budget rationale lives in tinaural.ops.vmem (single audited source)."""
     if not _use_fused_block(config, taps, n_fft, B):
         return False
-    from ..ops.pallas_kernels import block_render_vmem_bytes
+    from ..ops import vmem
 
-    return block_render_vmem_bytes(taps, n_fft, B, S) < (15 << 20)
+    return vmem.fits_block_render(taps, n_fft, B, S)
 
 
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
@@ -267,9 +264,10 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     the 4-neighbor gather+lerp runs in-kernel as a weighted one-hot
     matmul — no XLA gather, no HBM h-row traffic. Oversize tables (dense
     SOFA grids) fall back to the XLA gather feeding the same kernel."""
+    from ..ops import vmem
     from ..ops.interp import direction_weights
-    from ..ops.pallas_kernels import (block_render_vmem_bytes,
-                                     fused_block_render, gather_tables)
+    from ..ops.pallas_kernels import (_GATHER_MAX_ROWS, fused_block_render,
+                                     gather_tables)
 
     taps = table.h.shape[-1]
     S, nb, B = xbs.shape
@@ -282,9 +280,9 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
 
     taps_p = -(-taps // 128) * 128
     table_bytes = rows_p * (2 * taps_p + 128 + 3 * _RENDER_GATHER_WORK) * 4
-    if (rows_p <= 2048
-            and block_render_vmem_bytes(taps, n_fft, B, S) + table_bytes
-            < (15 << 20)):
+    if (rows_p <= _GATHER_MAX_ROWS
+            and vmem.fits_block_render(taps, n_fft, B, S,
+                                       extra_bytes=table_bytes)):
         eidx, aidx, wts = jax.vmap(lambda a, e: direction_weights(
             table.elevs, table.az_counts, a, e, config.interp))(
                 flat[:, 0], flat[:, 1])
@@ -333,9 +331,20 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         return _ola_ears(Y, n_fft, B, config)  # (2, out)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _trajectory_fn(table, xb, dirs, config):
+# Public jitted entry points: each wraps its core in jit + the Mosaic
+# compile-failure fallback (tinaural.ops.vmem — on any Mosaic/VMEM failure
+# the call retries with use_pallas=False, which is the same linear map
+# through XLA; the byte estimates above remain the cheap pre-filter).
+from ..ops.vmem import with_xla_fallback  # noqa: E402  (after the gates)
+
+_static_fn = with_xla_fallback(_static_core, static_argnames=("config", "n"))
+
+
+def _trajectory_fn_core(table, xb, dirs, config):
     return _trajectory_core(table, xb, dirs, config)
+
+
+_trajectory_fn = with_xla_fallback(_trajectory_fn_core)
 
 
 def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
@@ -373,7 +382,8 @@ def _trajectory_spectra_batched(table: HrirTable, xbs: jax.Array,
         jnp.zeros((nb,), jnp.float32).at[0].set(1.0), S)
     Y = fused_assembly_mac(h, d, g, Xu, Xd, first, taps, n_fft,
                            crossfade=config.crossfade,
-                           interpret=config.pallas_interpret)
+                           interpret=config.pallas_interpret,
+                           precision=_kernel_precision(config))
     return Y.reshape(S, nb, 2, n_fft // 2 + 1)
 
 
@@ -408,8 +418,8 @@ def _scene_spectra_fused(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     per-source carry scratch would overflow VMEM at very large S, a scan
     over mix-kernel super-chunks). xbs: (S, nb, B); dirs: (S, nb, 2) →
     (Ysr, Ysi) (nb, 2, Fs) planes for `fused_epilogue`."""
-    from ..ops.pallas_kernels import (_epilogue_dims, block_mix_vmem_bytes,
-                                      fused_block_step_mix)
+    from ..ops import vmem
+    from ..ops.pallas_kernels import _epilogue_dims, fused_block_step_mix
 
     taps = table.h.shape[-1]
     S, nb, B = xbs.shape
@@ -424,7 +434,7 @@ def _scene_spectra_fused(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
                    crossfade=config.crossfade,
                    interpret=config.pallas_interpret,
                    precision=_kernel_precision(config))
-    if block_mix_vmem_bytes(taps, n_fft, S) < (12 << 20):
+    if vmem.fits_block_mix(taps, n_fft, S):
         return step(h, d, g, xbs)
     # very large S: scan over source super-chunks that DO fit, mixing the
     # plane partials (rare; S ≤ ~512 fits in one launch at default taps)
@@ -489,13 +499,14 @@ def _static_block_spectra(table: HrirTable, xb: jax.Array, dir2: jax.Array,
     return X[:, None, :] * H[None]
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _static_block_fn(table, xb, dir2, config):
+def _static_block_fn_core(table, xb, dir2, config):
     return _static_block_core(table, xb, dir2, config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _scene_static_fn(table, xbs, dirs, config):
+_static_block_fn = with_xla_fallback(_static_block_fn_core)
+
+
+def _scene_static_core(table, xbs, dirs, config):
     """Static-direction scene: xbs (S, nb, B); dirs (S, 2) → (2, out).
     Sources mix in the frequency domain (irfft/OLA are linear): chunk
     spectra accumulate in a (nb, 2, F) scan carry and the irfft+OLA
@@ -530,6 +541,9 @@ def _scene_static_fn(table, xbs, dirs, config):
     zero = jnp.zeros((nb, 2, n_fft // 2 + 1), jnp.complex64)
     Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
     return _ola_ears(Y, n_fft, B, config)
+
+
+_scene_static_fn = with_xla_fallback(_scene_static_core)
 
 
 def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
@@ -669,13 +683,14 @@ def _partitioned_scan(table, X, h, d, g, taps: int, B: int, P: int,
     return Yn, Yp
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _partitioned_fn(table, xb, dirs, config):
+def _partitioned_fn_core(table, xb, dirs, config):
     return _partitioned_core(table, xb, dirs, config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _batch_fn(table, xbs, dirs, config):
+_partitioned_fn = with_xla_fallback(_partitioned_fn_core)
+
+
+def _batch_core(table, xbs, dirs, config):
     """Batch of independent renders (NO mixdown): xbs (S, nb, B), dirs
     (S, nb, 2) → (S, 2, out). Serving-mode batching: many files/requests
     per device dispatch."""
@@ -707,8 +722,10 @@ def _batch_fn(table, xbs, dirs, config):
     return y.reshape(-1, *y.shape[2:])[:S]
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _scene_fn(table, xbs, dirs, config):
+_batch_fn = with_xla_fallback(_batch_core)
+
+
+def _scene_core(table, xbs, dirs, config):
     """Batched scene render + stereo mixdown. xbs: (S, nb, B); dirs:
     (S, nb, 2) → (2, out).
 
@@ -752,6 +769,9 @@ def _scene_fn(table, xbs, dirs, config):
     zero = jnp.zeros((nb, 2, n_fft // 2 + 1), jnp.complex64)
     Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
     return _ola_ears(Y, n_fft, B, config)
+
+
+_scene_fn = with_xla_fallback(_scene_core)
 
 
 def _chunked_sources(xbs, dirs, chunk: int):

@@ -16,7 +16,7 @@ bit-identical to an uninterrupted one.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple
 
 import jax
@@ -89,10 +89,10 @@ def _use_fused_step(table: HrirTable, config: RenderConfig,
         return False
     if jax.default_backend() != "tpu" and not config.pallas_interpret:
         return False  # Mosaic kernels are TPU-only
-    from ..ops.pallas_kernels import stream_step_vmem_bytes
+    from ..ops import vmem
 
-    return stream_step_vmem_bytes(
-        table.h.shape[-1], config.stream_block, n_streams) < (12 << 20)
+    return vmem.fits_stream(table.h.shape[-1], config.stream_block,
+                            n_streams)
 
 
 def _fused_batch_step(table: HrirTable, state: StreamState, xbs: jax.Array,
@@ -168,16 +168,23 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
                        started=jnp.ones((), dtype=jnp.float32)), y
 
 
+from ..ops.vmem import with_xla_fallback  # noqa: E402  (after the gate)
+
+
 # NOTE: no donate_argnums on the state — Stream.state is an advertised
 # checkpoint surface; donating would delete the buffers a caller saved
 # (measured: resume after push raised "Buffer has been deleted").
-@partial(jax.jit, static_argnames=("config",))
-def _step_fn(table, state, xb, az, el, config):
+# Each step fn wraps in jit + the Mosaic compile-failure fallback
+# (tinaural.ops.vmem): identical math via the XLA step if the fused
+# kernel fails to compile for an un-enveloped (taps, block, S).
+def _step_fn_core(table, state, xb, az, el, config):
     return _step_core(table, state, xb, az, el, config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _scan_fn(table, state, xbs, dirs, config):
+_step_fn = with_xla_fallback(_step_fn_core)
+
+
+def _scan_core(table, state, xbs, dirs, config):
     """Offline scan over blocks: xbs (nb, B), dirs (nb, 2) → (2, nb·B)."""
 
     def body(st, inp):
@@ -189,8 +196,10 @@ def _scan_fn(table, state, xbs, dirs, config):
     return state, jnp.moveaxis(ys, 0, 1).reshape(2, -1)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _batch_step_fn(table, state, xbs, azs, els, config):
+_scan_fn = with_xla_fallback(_scan_core)
+
+
+def _batch_step_core(table, state, xbs, azs, els, config):
     """Batched stream step: S independent streams advance one block —
     one fused Pallas launch when eligible, else a vmapped XLA step."""
     if _use_fused_step(table, config, xbs.shape[0]):
@@ -200,6 +209,9 @@ def _batch_step_fn(table, state, xbs, azs, els, config):
     return jax.vmap(
         lambda st, xb, az, el: _step_core_xla(table, st, xb, az, el, config)
     )(state, xbs, azs, els)
+
+
+_batch_step_fn = with_xla_fallback(_batch_step_core)
 
 
 class BatchedStream:

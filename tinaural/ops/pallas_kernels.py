@@ -127,74 +127,9 @@ def _tile_fft(groups, n: int, sign: float):
     return [t if t is not None else zero for t in a]
 
 
-# Blocks processed per grid step: keeps the sublane dimension at the f32
-# tile minimum (8) required by Mosaic.
-_ROWS = 8
-
-
-def _cmul_acc_kernel(xu_re, xu_im, xd_re, xd_im,
-                     hc_re, hc_im, hp_re, hp_im,
-                     y_re, y_im):
-    """One grid step = _ROWS blocks: Y[e] = Xu·Hc[e] + Xd·Hp[e], complex.
-
-    X refs are (_ROWS, Fp); H/Y refs are (_ROWS, 2·Fp) with the two ears
-    laid out side by side along lanes (Fp is 128-aligned, so each ear's
-    half is a lane-aligned static slice).
-    """
-    Fp = xu_re.shape[-1]
-    ur, ui = xu_re[...], xu_im[...]  # (_ROWS, Fp)
-    dr, di = xd_re[...], xd_im[...]
-    for half in range(2):  # static unroll over ears
-        s = slice(half * Fp, (half + 1) * Fp)
-        cr, ci = hc_re[:, s], hc_im[:, s]
-        pr, pi = hp_re[:, s], hp_im[:, s]
-        # (a+bi)(c+di) = (ac − bd) + (ad + bc)i
-        y_re[:, s] = ur * cr - ui * ci + dr * pr - di * pi
-        y_im[:, s] = ur * ci + ui * cr + dr * pi + di * pr
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_spectral_mac(Xu: jax.Array, Xd: jax.Array, Hc: jax.Array,
-                       Hp: jax.Array, interpret: bool = False) -> jax.Array:
-    """Crossfaded spectral multiply-accumulate for the block renderer.
-
-    Xu, Xd: (nb, F) complex64 — up/down-ramped input block spectra.
-    Hc, Hp: (nb, 2, F) complex64 — current/previous block filter spectra.
-    → (nb, 2, F) complex64.
-    """
-    nb, F = Xu.shape
-    Fp = _round_up(F, 128)
-    nbp = _round_up(nb, _ROWS)
-
-    def planes(z):
-        if z.ndim == 3:  # (nb, 2, F) → (nbp, 2·Fp), ears side by side
-            z = jnp.pad(z, [(0, nbp - nb), (0, 0), (0, Fp - F)])
-            z = z.reshape(nbp, 2 * Fp)
-        else:  # (nb, F) → (nbp, Fp)
-            z = jnp.pad(z, [(0, nbp - nb), (0, Fp - F)])
-        return z.real.astype(jnp.float32), z.imag.astype(jnp.float32)
-
-    xur, xui = planes(Xu)
-    xdr, xdi = planes(Xd)
-    hcr, hci = planes(Hc)
-    hpr, hpi = planes(Hp)
-
-    vec = pl.BlockSpec((_ROWS, Fp), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    ear = pl.BlockSpec((_ROWS, 2 * Fp), lambda b: (b, 0), memory_space=pltpu.VMEM)
-
-    y_re, y_im = pl.pallas_call(
-        _cmul_acc_kernel,
-        grid=(nbp // _ROWS,),
-        in_specs=[vec, vec, vec, vec, ear, ear, ear, ear],
-        out_specs=(ear, ear),
-        out_shape=(
-            jax.ShapeDtypeStruct((nbp, 2 * Fp), jnp.float32),
-            jax.ShapeDtypeStruct((nbp, 2 * Fp), jnp.float32),
-        ),
-        interpret=interpret,
-    )(xur, xui, xdr, xdi, hcr, hci, hpr, hpi)
-    Y = jax.lax.complex(y_re, y_im).reshape(nbp, 2, Fp)
-    return Y[:nb, :, :F]
+# Mosaic's f32 tile minimum along sublanes: every kernel here keeps row
+# counts (chunks, carries, scratch rows) at multiples of 8.
+_F32_TILE_ROWS = 8
 
 
 # ===================== fused filter-assembly + MAC kernel ====================
@@ -292,24 +227,33 @@ def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(y < 0.0, -z, z)
 
 
-@lru_cache(maxsize=8)
-def _padded_assembly_mats(taps: int, n_fft: int):
-    """Zoom matrices padded to TPU lane multiples.
-
-    Returns (M1p (taps_p, 2·FLp), MBp (2·FLp, Tp_p), MAp (Tp_p, 2·Fnp),
-    dims) with dims = (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p). Columns
-    [FLp:FLp+FL) hold the imaginary planes so each plane is lane-aligned.
-    """
-    from .filters import DELAY_PAD, _hybrid_matrices, _rfft_matrix, next_pow2
+def _assembly_dims(taps: int, n_fft: int):
+    """Shape arithmetic of the assembly chain WITHOUT materialising the
+    zoom matrices: (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p). The VMEM
+    estimators must use this — building the matrices just to read their
+    dims costs minutes at BRIR sizes (found by the round-4 oversized-gate
+    test)."""
+    from .filters import DELAY_PAD, next_pow2
 
     T_pad = taps + DELAY_PAD
     L = next_pow2(T_pad)
     FL = L // 2 + 1
     Fn = n_fft // 2 + 1
-    FLp = _round_up(FL, 128)
-    Tp_p = _round_up(T_pad, 128)
-    Fnp = _round_up(Fn, 128)
-    taps_p = _round_up(taps, 128)
+    return (L, FL, _round_up(FL, 128), T_pad, _round_up(T_pad, 128),
+            Fn, _round_up(Fn, 128), _round_up(taps, 128))
+
+
+@lru_cache(maxsize=8)
+def _padded_assembly_mats(taps: int, n_fft: int):
+    """Zoom matrices padded to TPU lane multiples.
+
+    Returns (M1p (taps_p, 2·FLp), MBp (2·FLp, Tp_p), MAp (Tp_p, 2·Fnp),
+    dims) with dims = `_assembly_dims(taps, n_fft)`. Columns
+    [FLp:FLp+FL) hold the imaginary planes so each plane is lane-aligned.
+    """
+    from .filters import _hybrid_matrices, _rfft_matrix
+
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
 
     M1, MB = _hybrid_matrices(taps)      # (taps, 2FL), (2FL, T_pad)
     MA = _rfft_matrix(taps, n_fft)        # (T_pad, 2Fn)
@@ -345,12 +289,12 @@ def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
     [ear0 x chunk; ear1 x chunk] by the wrapper) — 3-D blocks plus
     in-kernel reshapes measured as pure overhead on Mosaic."""
     _CHUNK = chunk
-    h = h_ref[...]          # (R, taps_p)
+    dot = _kdot(precision)  # honours kernel_precision="tri" like every
+    h = h_ref[...]          # other fused kernel (round-3 advisor finding)
     d = d_ref[...]          # (R, 1)
     g = g_ref[...]
 
-    G = jnp.dot(h, m1_ref[...], preferred_element_type=jnp.float32,
-                precision=precision)  # (R, 2FLp)
+    G = dot(h, m1_ref[...])  # (R, 2FLp)
 
     c, s = _ramp_cos_sin(d, trig_ref)
 
@@ -358,10 +302,8 @@ def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
     Gi = G[:, FLp:]
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)  # (R, 2FLp)
-    h_eff = jnp.dot(G2, mb_ref[...], preferred_element_type=jnp.float32,
-                    precision=precision)  # (R, Tp_p)
-    H = jnp.dot(h_eff, ma_ref[...], preferred_element_type=jnp.float32,
-                precision=precision)  # (R, 2Fnp)
+    h_eff = dot(G2, mb_ref[...])  # (R, Tp_p)
+    H = dot(h_eff, ma_ref[...])  # (R, 2Fnp)
 
     Hc0 = H[:_CHUNK]
     Hc1 = H[_CHUNK:]
@@ -392,9 +334,9 @@ def _assembly_mac_kernel(crossfade: bool, FLp: int, Fn: int, Fnp: int,
 
 def assembly_mac_vmem_bytes(taps: int, n_fft: int) -> int:
     """Rough VMEM footprint of the fused kernel's resident constants +
-    working set, used to gate kernel eligibility (long BRIRs overflow)."""
-    _, _, _, _, (L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p) = \
-        _padded_assembly_mats(taps, n_fft)
+    working set, used to gate kernel eligibility (long BRIRs overflow).
+    Pure shape arithmetic — never materialises the matrices."""
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
     consts = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fnp) * 4
     work = 2 * _DEFAULT_CHUNK * (taps_p + 4 * FLp + Tp_p + 4 * Fnp + 2 * Fnp) * 4
     return consts + work + 8 * 2 * Fnp * 4
@@ -596,6 +538,13 @@ def _forward_fourstep(zr, zi, n1: int, Gh: int, chunk: int,
     return Zf_r, Zf_i, C_r, C_i
 
 
+# Padded-table row bound of the in-kernel gather: the one-hot row-select
+# compares an f32 iota against f32 indices (exact far beyond this, but the
+# (chunk, rows_p) one-hot weights + the VMEM-resident table are the real
+# limit). `gather_tables` enforces it at the public surface.
+_GATHER_MAX_ROWS = 2048
+
+
 def _vmem_gather(dot, idx_ref, w_ref, ht_ref, dg_ref, chunk: int,
                  taps_p: int, apply_itd: bool, apply_ild: bool):
     """In-kernel HRTF gather+lerp: the whole (padded) table rides VMEM and
@@ -757,14 +706,14 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
 
 def assembly_mac_s_vmem_bytes(taps: int, n_fft: int) -> int:
     """VMEM footprint estimate of the fully-fused block step (constants +
-    per-grid-step working set) for the eligibility gate."""
-    M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
-    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    per-grid-step working set) for the eligibility gate. Pure shape
+    arithmetic — never materialises the matrices."""
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
     n1 = n_fft // 128
     Gh = n1 // 2 + 1
     Fs = Gh * 128
-    consts = (M1p.size + MBp.size + MAs.size + trig.size) * 4 \
-        + (4 * 128 * 128 + 2 * max(n1, 8) * 128) * 4
+    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fs + 8 * FLp)
+    consts = mats * 4 + (4 * 128 * 128 + 2 * max(n1, 8) * 128) * 4
     ch = _DEFAULT_CHUNK
     work = ch * (taps_p * 2 + 4 * FLp * 2 + Tp_p * 2 + 2 * 2 * Fs  # assembly
                  + n_fft + 4 * n1 * 128 + 4 * Gh * 128              # fwd fft
@@ -848,7 +797,6 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
 def block_mix_vmem_bytes(taps: int, n_fft: int, n_sources: int) -> int:
     """VMEM estimate of the scene-mixdown block step: the fully-fused
     step's footprint plus the per-source crossfade-carry scratch."""
-    _, _, _, _, dims = _scrambled_assembly_mats(taps, n_fft)
     n1 = n_fft // 128
     Fs = (n1 // 2 + 1) * 128
     return (assembly_mac_s_vmem_bytes(taps, n_fft)
@@ -878,7 +826,11 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
     """
     S, nb, B = xbs.shape
     n1, Gh, Fs, _ = _epilogue_dims(n_fft, 128)
-    _CHUNK = chunk if chunk is not None else min(_DEFAULT_CHUNK, nb)
+    # Round short scenes up to the 8-row f32 tile minimum — a chunk of
+    # nb < 8 would hand Mosaic a sub-tile block (round-3 advisor finding;
+    # padding already covers nb < chunk).
+    _CHUNK = chunk if chunk is not None else min(
+        _DEFAULT_CHUNK, _round_up(nb, _F32_TILE_ROWS))
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
@@ -949,14 +901,14 @@ def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
                             n_sources: int) -> int:
     """VMEM estimate of the single-launch render kernel (both cores'
     constants + working sets at _RENDER_CHUNK, the plane accumulator, the
-    per-source filter carries, and the OLA tail carry)."""
-    M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
-    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    per-source filter carries, and the OLA tail carry). Pure shape
+    arithmetic — never materialises the matrices."""
+    L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
     n1 = n_fft // 128
     Fs = (n1 // 2 + 1) * 128
     ch = _RENDER_CHUNK
-    consts = (M1p.size + MBp.size + MAs.size + trig.size) * 4 \
-        + (8 * 128 * 128 + 4 * max(n1, 8) * 128) * 4
+    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fs + 8 * FLp)
+    consts = mats * 4 + (8 * 128 * 128 + 4 * max(n1, 8) * 128) * 4
     work = ch * (taps_p * 2 + 4 * FLp * 2 + Tp_p * 2 + 2 * 2 * Fs
                  + n_fft + 4 * n1 * 128 + 4 * (n1 // 2 + 1) * 128
                  + 8 * Fs + 4 * Fs            # spectra core
@@ -1047,6 +999,10 @@ def fused_block_render(h, d, g, xbs: jax.Array,
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(n_fft)
     gtab = None if idx is None else (taps_p, apply_itd, apply_ild)
+    if gtab is not None and ht.shape[0] > _GATHER_MAX_ROWS:
+        raise ValueError(
+            f"in-kernel gather table has {ht.shape[0]} rows; max is "
+            f"{_GATHER_MAX_ROWS} — pass pre-gathered (h, d, g) instead")
 
     nb2 = nb + k_ola - 1  # flush rows
     ch = _RENDER_CHUNK
@@ -1129,6 +1085,15 @@ def gather_tables(h: jax.Array, delays: jax.Array, gains: jax.Array,
     E, A = h.shape[0], h.shape[1]
     rows = E * A
     rows_p = _round_up(rows, 128)
+    # The in-kernel gather selects rows by float-equality against an iota
+    # over rows_p and keeps the whole table VMEM-resident; enforce the
+    # bound HERE (the public surface) rather than trusting the renderer's
+    # call-site gate (round-3 advisor finding).
+    if rows_p > _GATHER_MAX_ROWS:
+        raise ValueError(
+            f"HRIR table has {rows} directions (padded {rows_p}); the "
+            f"in-kernel gather supports at most {_GATHER_MAX_ROWS} padded "
+            f"rows — use the XLA gather path (pass h, d, g) instead")
     hf = h.reshape(rows, 2, taps)
     ear = lambda e: jnp.pad(hf[:, e], [(0, rows_p - rows),
                                        (0, taps_p - taps)])
@@ -1491,10 +1456,20 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
 def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
     """Rough VMEM footprint of the fused streaming step (constants + the
     PER-GRID-STEP working set — the kernel grids over stream chunks, so
-    batch size itself is unbounded) for the eligibility gate."""
-    M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
-    L, FL, FLp, F2, F2p, P, taps_p = dims
-    consts = (M1p.size + M2p.size + trig.size + DFTr.size + DI.size) * 4
+    batch size itself is unbounded) for the eligibility gate. Pure shape
+    arithmetic — never materialises the matrices."""
+    from .filters import DELAY_PAD, next_pow2
+
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+    FLp = _round_up(FL, 128)
+    F2 = block + 1
+    F2p = _round_up(F2, 128)
+    P = -(-T_pad // block)
+    taps_p = _round_up(taps, 128)
+    consts = (taps_p * 2 * FLp + 2 * FLp * P * 2 * F2p + 8 * FLp
+              + 2 * block * 2 * F2p + 2 * F2p * block) * 4
     Sp = min(64, _round_up(max(n_streams, 1), 8))  # per-step chunk
     work = Sp * (2 * 2 * block + 2 * 2 * F2p + 4 * P * F2p
                  + 2 * (2 * FLp + taps_p)

