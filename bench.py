@@ -41,6 +41,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 TARGET_X_REALTIME = 10_000.0  # BASELINE.json:5
 SR = 44_100
 
+# Priming mode (round-3 VERDICT "Next round" #4): before each TIMED group
+# subprocess, the driver runs the same group with TINAURAL_BENCH_PRIME=1 —
+# every executable compiles (hitting or filling the persistent cache) and
+# runs once, but the measurement loops are skipped. The timed subprocess
+# then starts with warm caches, so the official capture reflects the
+# steady state the builder's own series medians show, not first-run
+# compile/allocator ramp.
+PRIME = os.environ.get("TINAURAL_BENCH_PRIME") == "1"
+
 
 # --------------------------------------------------------------- workloads
 # Each runs in its own subprocess: bench.py --workload NAME prints JSON.
@@ -54,6 +63,9 @@ def _marginal(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
     """Marginal pipelined seconds per call — the shared tunnel-safe
     estimator (positive-median with a conservative fallback); see
     tinaural.utils.profiling.marginal_cost for the full rationale."""
+    if PRIME:
+        _fence(call())
+        return float("inf")
     from tinaural.utils.profiling import marginal_cost
 
     return marginal_cost(call, k1=k1, k2=k2, reps=reps)
@@ -66,7 +78,72 @@ def _oneshot(call) -> float:
         return time.perf_counter() - t0
 
     once()
+    if PRIME:
+        return float("inf")
     return min(once() for _ in range(3))
+
+
+# ------------------------------------------------ roofline / MFU accounting
+#
+# Round-3 VERDICT missing #3: BENCH_NOTES reported µs/block but never
+# situated anything against hardware peaks. The MAC counts below are
+# STATIC functions of the shapes — the exact matmul inventory of the
+# fused block-render pipeline (gather one-hot matmul, the M1/MB/MA zoom
+# chain, forward four-step stage 3 incl. the Hermitian mirror, inverse
+# four-step stage 1) — so every timed workload can report device TFLOP/s
+# and %-of-peak alongside its throughput. Elementwise/VPU work (tile-FFT
+# butterflies, twiddles, the MAC itself, ramps) is NOT counted: these are
+# MXU-side numbers. Peak: v5e ≈ 197 bf16 TFLOP/s (public spec). "tri"
+# kernels issue 3 bf16 MXU passes per f32-equivalent MAC (split-bf16),
+# full-f32 matmuls 6 — pct_v5e_bf16_peak uses the pass-weighted count,
+# f32_equiv_tflops the plain one.
+
+V5E_BF16_TFLOPS = 197.0
+
+
+def _render_macs(taps: int, n_fft: int, blocks: int, dir_rate: int = 1,
+                 crossfade: bool = True, rows_p: int = 1024) -> dict:
+    """Per-call MAC inventory of the fused block-render pipeline.
+
+    `blocks` counts (source, block) pairs for the per-pair stages; the
+    inverse runs once per OUTPUT block — pass them via the same number
+    for 1-source renders and scale externally for scenes."""
+    n1 = n_fft // 128
+    Gh = n1 // 2 + 1
+    Fs = Gh * 128
+    L = 1
+    while L < taps + 64:  # DELAY_PAD = 64
+        L *= 2
+    FLp = -(-(L // 2 + 1) // 128) * 128
+    Tp_p = -(-(taps + 64) // 128) * 128
+    taps_p = -(-taps // 128) * 128
+    per_pair_tri = (
+        rows_p * 2 * taps_p            # gather: one-hot @ HRIR table
+        + 2 * taps_p * 2 * FLp         # M1 (2 ear rows)
+        + 2 * 2 * FLp * Tp_p           # MB
+        + 2 * Tp_p * 2 * Fs            # MA (scrambled rfft)
+    ) / dir_rate + (
+        4 * Gh * 128 * 128             # forward four-step stage 3
+        + (4 * Gh * 128 * 128 if crossfade else 0)  # Hermitian mirror
+    )
+    per_pair_f32 = rows_p * 128 / dir_rate  # delay/gain gather (HIGHEST)
+    per_block_tri = 4 * n1 * 128 * 128      # inverse four-step stage 1
+    tri = blocks * (per_pair_tri + per_block_tri)
+    f32 = blocks * per_pair_f32
+    return {"tri_macs": tri, "f32_macs": f32,
+            "flops": 2 * (tri + f32),
+            "pass_flops": 2 * (3 * tri + 6 * f32)}
+
+
+def _roofline(macs: dict, seconds: float) -> dict:
+    if not np.isfinite(seconds) or seconds <= 0:
+        return {}
+    return {
+        "device_ms_per_call": round(seconds * 1e3, 3),
+        "f32_equiv_tflops": round(macs["flops"] / seconds / 1e12, 2),
+        "pct_v5e_bf16_peak": round(
+            100.0 * macs["pass_flops"] / seconds / (V5E_BF16_TFLOPS * 1e12), 1),
+    }
 
 
 def w_trajectory(use_pallas: bool = True) -> dict:
@@ -93,10 +170,19 @@ def w_trajectory(use_pallas: bool = True) -> dict:
     # the headline gets extra sampling: it is the official record and the
     # tunnel's per-estimate jitter shrinks with k2−k1 and rep count
     per = _marginal(call, k1=4, k2=24, reps=7)
-    return {
+    out = {
         "audio_sec_per_sec": (N / SR) / per,
         "oneshot_ms_incl_rtt": _oneshot(call) * 1e3,
     }
+    out.update(_roofline(_render_macs(128, 2048, nb), per))
+    if use_pallas:
+        # the reduced direction-rate lever (RenderConfig.dir_rate): same
+        # workload with the HRTF updated every 4th block (92.9 ms)
+        cfg4 = cfg.replace(dir_rate=4)
+        per4 = _marginal(lambda: _trajectory_fn(r.table, xb, dirs, cfg4),
+                         k1=4, k2=16, reps=5)
+        out["dir_rate4_audio_sec_per_sec"] = (N / SR) / per4
+    return out
 
 
 def w_scene() -> dict:
@@ -143,7 +229,17 @@ def w_scene_moving() -> dict:
         axis=-1).astype(np.float32))
     call = lambda: _scene_fn(r.table, xbs, dirs, cfg)
     per = _marginal(call, 1, 5)
-    return {"aggregate_audio_sec_per_sec": S * (N / SR) / per}
+    out = {"aggregate_audio_sec_per_sec": S * (N / SR) / per}
+    macs = _render_macs(128, 2048, S * nb)
+    # the inverse runs once per OUTPUT block, not per (source, block)
+    inv = 2 * 3 * (S - 1) * nb * 4 * (2048 // 128) * 128 * 128
+    macs["pass_flops"] -= inv
+    macs["flops"] -= inv // 3
+    out.update(_roofline(macs, per))
+    per4 = _marginal(
+        lambda: _scene_fn(r.table, xbs, dirs, cfg.replace(dir_rate=4)), 1, 5)
+    out["dir_rate4_aggregate_audio_sec_per_sec"] = S * (N / SR) / per4
+    return out
 
 
 def w_static() -> dict:
@@ -207,7 +303,15 @@ def w_brir() -> dict:
         np.stack([np.linspace(0, 350, nb) % 360,
                   20 * np.sin(np.linspace(0, 9, nb))], axis=1).astype(np.float32))
     per = _marginal(lambda: _partitioned_fn(r.table, xb, dirs, cfg), 1, 5)
-    return {"audio_sec_per_sec": (N / SR) / per}
+    out = {"audio_sec_per_sec": (N / SR) / per}
+    # kernel-only MAC model (XLA-side partition assembly not counted):
+    # fwd four-step stage 3 + the crossfade pair of inverse four-steps
+    n1p = (2 * B) // 128
+    ghp = n1p // 2 + 1
+    tri = nb * (4 * ghp + 2 * 4 * n1p) * 128 * 128
+    out.update(_roofline(
+        {"flops": 2 * tri, "pass_flops": 2 * 3 * tri}, per))
+    return out
 
 
 def _batched_push_cost(bs, blocks, azs, els) -> float:
@@ -222,6 +326,9 @@ def _batched_push_cost(bs, blocks, azs, els) -> float:
         return time.perf_counter() - t0
 
     bs.push(blocks, azs, els)
+    if PRIME:
+        fenced_b(1)
+        return float("inf")
     fenced_b(3)
     fenced_b(4), fenced_b(16)  # discarded settle pair
     ests = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
@@ -275,6 +382,18 @@ def w_stream() -> dict:
     xb = np.random.default_rng(4).standard_normal(B).astype(np.float32)
     for i in range(5):
         _fence(s.push(xb, 30.0 + i, 0.0))
+    if PRIME:
+        from tinaural.models import BatchedStream
+
+        bs = BatchedStream(load_hrir_set("synthetic"), 64,
+                           RenderConfig(stream_block=B))
+        _batched_push_cost(bs, np.zeros((64, B), np.float32),
+                           np.zeros(64, np.float32), np.zeros(64, np.float32))
+        return {"push_compute_ms": float("inf"),
+                "push_latency_ms_incl_tunnel_rtt": float("inf"),
+                "realtime_budget_ms": B / SR * 1e3,
+                "batched64_push_ms": float("inf"),
+                "batched64_aggregate_audio_sec_per_sec": float("inf")}
 
     def fenced(n):
         t0 = time.perf_counter()
@@ -356,11 +475,14 @@ GROUPS = {
 }
 
 
-def _run_group(name: str) -> dict:
+def _run_group(name: str, prime: bool = False) -> dict:
+    env = dict(os.environ)
+    if prime:
+        env["TINAURAL_BENCH_PRIME"] = "1"
     out = subprocess.run(
         [sys.executable, __file__, "--workload", name],
-        capture_output=True, text=True, timeout=1700, cwd="/root/repo"
-        if __file__.startswith("/root/repo") else None)
+        capture_output=True, text=True, timeout=1700, env=env,
+        cwd="/root/repo" if __file__.startswith("/root/repo") else None)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -384,6 +506,10 @@ def main() -> None:
     errors = {}
     for gname in GROUPS:
         try:
+            try:  # priming pass: compile/warm every executable untimed
+                _run_group(gname, prime=True)
+            except Exception:
+                pass  # priming is best-effort; the timed run still compiles
             res.update(_run_group(gname))
         except Exception as e:  # keep the headline line printable even if
             errors[gname] = str(e)[:200]  # a group times out on the tunnel
@@ -398,6 +524,17 @@ def main() -> None:
     traj = get("traj", "audio_sec_per_sec")
     extras = {
         "1src_trajectory_xla_fallback": get("traj_xla", "audio_sec_per_sec"),
+        "1src_trajectory_dir_rate4": get("traj", "dir_rate4_audio_sec_per_sec"),
+        "64src_moving_dir_rate4_aggregate": get(
+            "scene_moving", "dir_rate4_aggregate_audio_sec_per_sec"),
+        # roofline (docs/BENCH_NOTES.md "Roofline accounting"): static MAC
+        # inventory of the fused pipeline / marginal device seconds
+        "headline_device_ms": get("traj", "device_ms_per_call", nd=3),
+        "headline_f32_tflops": get("traj", "f32_equiv_tflops", nd=2),
+        "headline_pct_v5e_bf16_peak": get("traj", "pct_v5e_bf16_peak"),
+        "scene_moving_pct_v5e_bf16_peak": get(
+            "scene_moving", "pct_v5e_bf16_peak"),
+        "brir_pct_v5e_bf16_peak_kernel_only": get("brir", "pct_v5e_bf16_peak"),
         "1src_static": get("static", "audio_sec_per_sec"),
         "1src_static_direct_fft": get("static", "direct_fft_audio_sec_per_sec"),
         "brir2048_moving": get("brir", "audio_sec_per_sec"),

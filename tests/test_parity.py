@@ -238,3 +238,45 @@ def test_fft_pack_matrix_parity(table, rng):
             y = np.asarray(r.render_scene(xs, sdirs))
             ref = golden.render_scene(table, xs, sdirs, cfg)
             assert snr_db(ref, y) > 60, (pack, impl, crossfade, "scene")
+
+
+def test_dir_rate_golden_identity(table, rng):
+    """Oracle law of RenderConfig.dir_rate: a dir_rate=k golden render IS
+    the dir_rate=1 golden render of the snapped direction track (the
+    definition in golden.snap_dirs) — bit-identical in f64."""
+    x = rng.standard_normal(8 * 256)
+    nb = 8
+    dirs = np.stack([np.linspace(0, 340, nb), np.linspace(-35, 80, nb)],
+                    axis=1)
+    for k in (2, 4):
+        cfg = RenderConfig(block_size=256, dir_rate=k)
+        a = golden.render_trajectory(table, x, dirs, cfg)
+        b = golden.render_trajectory(
+            table, x, golden.snap_dirs(dirs, k),
+            RenderConfig(block_size=256))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dir_rate_parity_trajectory_and_scene(table, rng):
+    """TPU paths match the golden oracle at dir_rate in {1, 4}, in both
+    the XLA fallback and the interpret-mode fused kernels (the fused
+    render kernel assembles only the unique filters — must be exactly
+    the same map)."""
+    x = rng.standard_normal(8 * 256)
+    nb = 8
+    dirs = np.stack([np.linspace(300, 20, nb) % 360,
+                     np.linspace(40, -30, nb)], axis=1)
+    xs = rng.standard_normal((3, 8 * 256))
+    sdirs = np.stack([rng.uniform(0, 360, (3, nb)),
+                      rng.uniform(-40, 90, (3, nb))], axis=2)
+    for k in (1, 4):
+        for pallas in (False, True):
+            cfg = RenderConfig(block_size=256, dir_rate=k,
+                               use_pallas=pallas, pallas_interpret=pallas)
+            r = BinauralRenderer(table, cfg)
+            y = np.asarray(r.render_trajectory(x, dirs))
+            ref = golden.render_trajectory(table, x, dirs, cfg)
+            assert snr_db(ref, y) > GATE_DB, (k, pallas, "traj")
+            y = np.asarray(r.render_scene(xs, sdirs))
+            ref = golden.render_scene(table, xs, sdirs, cfg)
+            assert snr_db(ref, y) > GATE_DB, (k, pallas, "scene")

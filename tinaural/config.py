@@ -84,6 +84,21 @@ class RenderConfig:
         testing only).
       out_length: ``"full"`` → N + taps - 1 output samples (linear
         convolution length), ``"same"`` → N samples (input length).
+      dir_rate: assemble a moving source's filter every ``dir_rate``
+        blocks instead of every block (ROADMAP #4's reduced direction-
+        rate lever). SEMANTICS (defined in the golden oracle first —
+        tinaural.reference.golden.snap_dirs): the per-block direction
+        track is snapped to its value at the start of each dir_rate-
+        group, and the existing input-side crossfade blends across the
+        (now sparser) filter changes. dir_rate=1 (default) is exactly
+        the per-block semantics of rounds 1–3. At block 1024 / 44.1 kHz,
+        dir_rate=4 updates the HRTF every 92.9 ms — for smooth paths
+        this is below the audible threshold for moving-source update
+        artifacts while cutting the per-block gather+assembly work
+        (and its MXU passes) by dir_rate. Equivalence bound vs dir_rate=1
+        is path-speed-dependent: the filter lags the true direction by
+        at most (dir_rate−1)·block/sr seconds. Must divide into the
+        fused kernels' 32-row chunk: one of 1, 2, 4, 8.
     """
 
     sample_rate: int = 44100
@@ -102,6 +117,7 @@ class RenderConfig:
     fft_pack: str = "both"
     fft_impl: str = "xla"
     out_length: str = "full"
+    dir_rate: int = 1
 
     def __post_init__(self):
         if self.interp not in ("nearest", "bilinear"):
@@ -125,6 +141,9 @@ class RenderConfig:
             v = getattr(self, name)
             if v <= 0 or (v & (v - 1)) != 0:
                 raise ValueError(f"{name} must be a positive power of two, got {v}")
+        if self.dir_rate not in (1, 2, 4, 8):
+            raise ValueError(
+                f"dir_rate must be one of 1, 2, 4, 8, got {self.dir_rate}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -72,6 +72,21 @@ def _kernel_precision(config: RenderConfig):
     return jax.lax.Precision.HIGHEST
 
 
+def _snap_dirs(dirs: jax.Array, dir_rate: int) -> jax.Array:
+    """JAX mirror of `tinaural.reference.golden.snap_dirs` — THE
+    RenderConfig.dir_rate semantics: block b takes the direction of its
+    group start ⌊b/k⌋·k. A dir_rate=k render is by definition the
+    dir_rate=1 render of the snapped track, so every route (fused or
+    XLA) that snaps here is exactly golden-parity; the fused render
+    kernel additionally exploits the k-fold filter repetition to skip
+    the redundant gather+assembly work."""
+    if dir_rate == 1:
+        return dirs
+    nb = dirs.shape[-2]
+    idx = (jnp.arange(nb) // dir_rate) * dir_rate
+    return jnp.take(dirs, idx, axis=-2)
+
+
 def _use_fused_epilogue(config: RenderConfig, n_fft: int, B: int) -> bool:
     """Route the irfft+OLA epilogue through the fused Pallas kernel when
     Pallas is enabled and the four-step layout fits (see
@@ -255,7 +270,8 @@ def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
 
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
                   config: RenderConfig, n_fft: int,
-                  crossfade: bool | None = None) -> jax.Array:
+                  crossfade: bool | None = None,
+                  static_dirs: bool = False) -> jax.Array:
     """Run the single-launch render kernel. xbs: (S, nb, B); dirs:
     (S, nb, 2) → (2, out) with sources mixed.
 
@@ -274,8 +290,15 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     E, A = table.h.shape[0], table.h.shape[1]
     rows_p = -(-(E * A) // 128) * 128
     cf = config.crossfade if crossfade is None else crossfade
+    # Kernel-level dir_rate: callers pass SNAPPED dirs (any divisor of
+    # the config rate preserves the snapped values, so the unique-filter
+    # slicing is exact), capped at 4 so the per-grid-step unique rows
+    # stay at the 8-row f32 tile minimum. Static scenes (per-source
+    # constant dirs) always qualify: every block's filter is identical,
+    # so assembling every 4th is bit-identical regardless of dir_rate.
+    k_dir = 4 if static_dirs else min(config.dir_rate, 4)
     kw = dict(crossfade=cf, interpret=config.pallas_interpret,
-              precision=_kernel_precision(config))
+              precision=_kernel_precision(config), dir_rate=k_dir)
     flat = dirs.reshape(S * nb, 2)
 
     taps_p = -(-taps // 128) * 128
@@ -310,6 +333,7 @@ def _trajectory_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     taps = table.h.shape[-1]
     B = xb.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    dirs = _snap_dirs(dirs, config.dir_rate)
 
     if _use_fused_render(config, taps, n_fft, B, 1):
         # North-star path (default): ONE Pallas launch from raw blocks to
@@ -525,7 +549,7 @@ def _scene_static_core(table, xbs, dirs, config):
         dirs_b = jnp.broadcast_to(dirs[:, None, :], (S, nb, 2))
         if _use_fused_render(config, taps, n_fft, B, S):
             return _fused_render(table, xbs, dirs_b, config, n_fft,
-                                 crossfade=False)
+                                 crossfade=False, static_dirs=True)
         Ysr, Ysi = _scene_spectra_fused(
             table, xbs, dirs_b, config.replace(crossfade=False), n_fft)
         return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
@@ -698,6 +722,7 @@ def _batch_core(table, xbs, dirs, config):
     taps = table.h.shape[-1]
     B = xbs.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    dirs = _snap_dirs(dirs, config.dir_rate)
     fusedb = _use_fused_block(config, taps, n_fft, B)
     fused = _use_fused_kernel(config, taps, n_fft)
 
@@ -741,6 +766,7 @@ def _scene_core(table, xbs, dirs, config):
     chunk spectra mixing down in the frequency domain into the scan carry
     and one irfft+OLA epilogue per scene. The source axis is the same
     axis `tinaural.parallel` shards across devices (BASELINE.json:10)."""
+    dirs = _snap_dirs(dirs, config.dir_rate)
     xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
     taps = table.h.shape[-1]
     nb, B = xbs.shape[1], xbs.shape[-1]

@@ -588,19 +588,36 @@ def _vmem_gather(dot, idx_ref, w_ref, ht_ref, dg_ref, chunk: int,
     return h, d, g
 
 
+def _expand_rows(Hu: jax.Array, k: int, chunk: int, precision) -> jax.Array:
+    """Repeat each filter row k× along sublanes: (chunk/k, F) → (chunk, F)
+    with out[r] = Hu[r // k] — the dir_rate expansion. Implemented as a
+    broadcast+reshape (plain data movement; Mosaic lowers it as copies,
+    no MXU work)."""
+    if k == 1:
+        return Hu
+    cu = chunk // k
+    F = Hu.shape[-1]
+    return jnp.broadcast_to(Hu[:, None, :], (cu, k, F)).reshape(chunk, F)
+
+
 def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
                         FLp: int, Fs: int, precision, chunk: int, cs,
                         h_val, d_val, g_val, first_ref, xb_ref,
                         m1_ref, mb_ref, ma_ref, trig_ref,
-                        fwr, fwi, ffr, ffi, ftr, fti, carry):
+                        fwr, fwi, ffr, ffi, ftr, fti, carry,
+                        dir_rate: int = 1):
     """Shared core of the fused block kernels: forward four-step FFT of
     the (ramped) raw blocks + filter assembly at the scrambled bins +
     crossfaded MAC, with the previous filter carried in `carry` rows
-    [cs, cs+1]. h/d/g are VALUES ((2·chunk, ·) ear-major rows — read
-    from refs or produced by `_vmem_gather`).
+    [cs, cs+1]. h/d/g are VALUES ((2·chunk/dir_rate, ·) ear-major rows —
+    read from refs or produced by `_vmem_gather`); with dir_rate = k > 1
+    only the chunk/k UNIQUE filters are assembled (the RenderConfig.
+    dir_rate fast path) and each is expanded to its k blocks before the
+    MAC — identical math to assembling the snapped track per block.
     → ((y0r, y0i), (y1r, y1i)) plane values, (chunk, Fs)."""
     hp = precision
     dot = _kdot(hp)
+    cu = chunk // dir_rate
 
     # ---- filter assembly at scrambled bins (same chain as
     # _assembly_mac_kernel; only MA's column layout differs)
@@ -611,8 +628,9 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
     h_eff = dot(G2, mb_ref[...])
-    H = dot(h_eff, ma_ref[...])  # (2·chunk, 2Fs) rows [ear0; ear1]
-    Hc0, Hc1 = H[:chunk], H[chunk:]
+    H = dot(h_eff, ma_ref[...])  # (2·cu, 2Fs) rows [ear0; ear1]
+    Hc0 = _expand_rows(H[:cu], dir_rate, chunk, hp)
+    Hc1 = _expand_rows(H[cu:], dir_rate, chunk, hp)
 
     # ---- forward FFT of the raw blocks
     xb = xb_ref[...]  # (chunk, B)
@@ -919,7 +937,7 @@ def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
 
 def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
                          k_ola: int, FLp: int, Fs: int, precision,
-                         chunk: int, S: int, gtab,
+                         chunk: int, S: int, gtab, dir_rate: int,
                          r1, r2, r3, first_ref, xb_ref,
                          m1_ref, mb_ref, ma_ref, trig_ref,
                          fwr, fwi, ffr, ffi, ftr, fti,
@@ -932,12 +950,14 @@ def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
     ``gtab`` = None: r1/r2/r3 are gathered (h, d, g) row refs. Otherwise
     gtab = (taps_p, apply_itd, apply_ild): r1/r2 are the per-block
     neighbor index/weight cols, r3 the VMEM-resident padded HRIR table,
-    and `rest` leads with the delay/gain table."""
+    and `rest` leads with the delay/gain table. With ``dir_rate`` = k > 1
+    the filter refs carry only the chunk/k unique directions."""
+    cu = chunk // dir_rate
     if gtab is not None:
         taps_p, itd, ild = gtab
         dg_ref, *rest = rest
         h, d, g = _vmem_gather(_kdot(precision), r1, r2, r3, dg_ref,
-                               chunk, taps_p, itd, ild)
+                               cu, taps_p, itd, ild)
     else:
         h, d, g = r1[...], r2[...], r3[...]
     out0, out1, hcar, a0r, a0i, a1r, a1i, oc0, oc1 = rest
@@ -946,7 +966,7 @@ def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, 2 * s,
         h, d, g, first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
-        fwr, fwi, ffr, ffi, ftr, fti, hcar)
+        fwr, fwi, ffr, ffi, ftr, fti, hcar, dir_rate=dir_rate)
     (y0r, y0i), (y1r, y1i) = outs
     accs = (a0r, a0i, a1r, a1i)
     vals = (y0r, y0i, y1r, y1i)
@@ -975,13 +995,15 @@ def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
 
 @partial(jax.jit,
          static_argnames=("taps", "n_fft", "crossfade", "interpret",
-                          "precision", "apply_itd", "apply_ild"))
+                          "precision", "apply_itd", "apply_ild", "chunk",
+                          "dir_rate"))
 def fused_block_render(h, d, g, xbs: jax.Array,
                        taps: int, n_fft: int, crossfade: bool = True,
                        interpret: bool = False,
                        precision=jax.lax.Precision.HIGHEST,
                        idx=None, w=None, ht=None, dg=None,
-                       apply_itd: bool = True, apply_ild: bool = True):
+                       apply_itd: bool = True, apply_ild: bool = True,
+                       chunk: int | None = None, dir_rate: int = 1):
     """Single-launch render: raw blocks in, overlap-added stereo out.
 
     Two input modes: pre-gathered filters — h: (S, nb, 2, taps); d, g:
@@ -991,6 +1013,14 @@ def fused_block_render(h, d, g, xbs: jax.Array,
     out = (nb−1)·B + n_fft, sources mixed down (S = 1 is the plain
     trajectory render). The final OLA tails flush through k−1 appended
     silent blocks.
+
+    ``dir_rate`` = k > 1: the caller's directions are snapped to every
+    k-th block (RenderConfig.dir_rate semantics — caller must pass the
+    SNAPPED h/d/g/idx/w; this wrapper slices rows [::k]) and the kernel
+    gathers + assembles only the chunk/k unique filters per grid step,
+    expanding each to its k blocks before the MAC. Exactly the same
+    linear map as dir_rate=1 on the snapped track. Requires k | chunk
+    and (gather mode) chunk/k ≥ 8.
     """
     S, nb, B = xbs.shape
     n1, Gh, Fs, k_ola = _epilogue_dims(n_fft, B)
@@ -1005,16 +1035,22 @@ def fused_block_render(h, d, g, xbs: jax.Array,
             f"{_GATHER_MAX_ROWS} — pass pre-gathered (h, d, g) instead")
 
     nb2 = nb + k_ola - 1  # flush rows
-    ch = _RENDER_CHUNK
+    ch = chunk if chunk is not None else _RENDER_CHUNK
+    k = dir_rate
+    if ch % k or (gtab is not None and ch // k < _F32_TILE_ROWS):
+        raise ValueError(f"dir_rate {k} incompatible with chunk {ch}")
+    cu = ch // k
     nbs = _round_up(nb2, ch)
     pb = nbs - nb
     nchb = nbs // ch
-    R = 2 * ch
+    R = 2 * cu
 
-    def rows(z, lanes):  # (S, nb, 2, lanes) → chunk-major (2·S·nbs, lanes)
+    def rows(z, lanes):  # (S, nb, 2, lanes) → chunk-major (2·S·nbs/k, lanes)
         z = jnp.pad(z, [(0, 0), (0, pb)] + [(0, 0)] * (z.ndim - 2))
-        z = z.reshape(S * nchb, ch, 2, -1).transpose(0, 2, 1, 3)
-        return z.reshape(2 * S * nbs, lanes)
+        if k > 1:
+            z = z[:, ::k]
+        z = z.reshape(S * nchb, cu, 2, -1).transpose(0, 2, 1, 3)
+        return z.reshape(2 * S * (nbs // k), lanes)
 
     first = jnp.zeros((S, nbs, 1), jnp.float32).at[:, 0].set(1.0)
     fm = first.reshape(S * nbs, 1)
@@ -1043,16 +1079,18 @@ def fused_block_render(h, d, g, xbs: jax.Array,
         lead_specs = [rowblk(taps_p), col(R), col(R)]
         tail, tail_specs = [], []
     else:
-        def pad8(z):  # (S, nb, 4) → (S·nbs, 8)
+        def pad8(z):  # (S, nb, 4) → (S·nbs/k, 8) unique rows
             z = jnp.pad(z, [(0, 0), (0, pb), (0, 4)])
-            return z.reshape(S * nbs, 8)
+            if k > 1:
+                z = z[:, ::k]
+            return z.reshape(S * (nbs // k), 8)
 
         lead = [pad8(idx), pad8(w), ht]
-        lead_specs = [col(ch, 8), col(ch, 8), const(ht)]
+        lead_specs = [col(cu, 8), col(cu, 8), const(ht)]
         tail, tail_specs = [dg], [const(dg)]
     y0, y1 = pl.pallas_call(
         partial(_block_render_kernel, crossfade, n1, Gh, B, k_ola, FLp,
-                Fs, precision, ch, S, gtab),
+                Fs, precision, ch, S, gtab, k),
         grid=(nchb, S),
         in_specs=lead_specs + [col(ch), vecB]
         + [const(a) for a in cj] + tail_specs,

@@ -23,14 +23,19 @@ This module is the SINGLE source for both layers of protection:
 
 The budgets are EMPIRICAL, not derived:
 
-- ``KERNEL_BUDGET`` (12 MiB): the grid-step working-set bound used by
-  the assembly/MAC, block-step, scene-mix, partitioned, and stream
-  kernels since round 2; configs estimated under it have always
-  compiled on v5e.
-- ``RENDER_BUDGET`` (15 MiB): the single-launch render kernel's bound.
-  Its estimator double-counts the spectra-core and inverse working sets
-  that Mosaic's liveness reuses — 14.5 MiB-estimated configs (64-src
-  scene at B=1024 with the in-kernel gather) compile and run on v5e.
+- ``KERNEL_BUDGET`` (16 MiB): the grid-step working-set bound for the
+  assembly/MAC, block-step, scene-mix, partitioned, and stream kernels.
+  Rounds 2–3 used 12 MiB, which silently excluded the HEADLINE shapes
+  from the fully-fused block path — `assembly_mac_s_vmem_bytes(128,
+  2048)` is 12.16 MiB, yet the kernel compiles and runs on v5e (round-4
+  measurement: the single-launch render kernel at an estimated ~22 MiB
+  compiles and runs — the estimators double-count buffers Mosaic's
+  liveness analysis reuses, by roughly 2×).
+- ``RENDER_BUDGET`` (24 MiB): the single-launch render kernel's bound.
+  Same empirical basis: chunk-64 configs estimated at ~22 MiB compile
+  and run; 64-src scenes at B=1024 with the in-kernel gather (~15 MiB
+  estimated) have run since round 3. The Mosaic-failure fallback
+  (below) is the safety net the old tight budgets were standing in for.
 """
 
 from __future__ import annotations
@@ -39,8 +44,8 @@ import logging
 
 _log = logging.getLogger("tinaural")
 
-KERNEL_BUDGET = 12 << 20
-RENDER_BUDGET = 15 << 20
+KERNEL_BUDGET = 16 << 20
+RENDER_BUDGET = 24 << 20
 
 
 # ----------------------------------------------------------- gate functions

@@ -187,6 +187,23 @@ def render_static(table: HrirTable, x: np.ndarray, az: float, el: float,
 # ------------------------------------------- config 3: trajectory (crossfade)
 
 
+def snap_dirs(dirs: np.ndarray, dir_rate: int) -> np.ndarray:
+    """THE definition of ``RenderConfig.dir_rate``: the per-block
+    direction track (nb, 2) snapped to its value at the start of each
+    ``dir_rate``-group — block b renders with dirs[(b // dir_rate) *
+    dir_rate]. Everything else (crossfade, OLA, filters) is unchanged:
+    a dir_rate=k render IS the dir_rate=1 render of the snapped track,
+    which is what makes the fast TPU path (assemble only the unique
+    filters) provably identical rather than approximately so. The
+    approximation is purely directional: the filter lags the true path
+    by at most (dir_rate−1) blocks."""
+    if dir_rate == 1:
+        return dirs
+    nb = dirs.shape[0]
+    idx = (np.arange(nb) // dir_rate) * dir_rate
+    return np.asarray(dirs)[idx]
+
+
 def render_trajectory(table: HrirTable, x: np.ndarray, dirs: np.ndarray,
                       config: RenderConfig = RenderConfig()) -> np.ndarray:
     """Moving-source render with crossfaded OLA block convolution.
@@ -202,6 +219,7 @@ def render_trajectory(table: HrirTable, x: np.ndarray, dirs: np.ndarray,
     xp[:N] = x
     if dirs.shape != (nb, 2):
         raise ValueError(f"dirs must be ({nb}, 2), got {dirs.shape}")
+    dirs = snap_dirs(dirs, config.dir_rate)
 
     n_fft = next_pow2(B + t_eff(table) - 1)
     ramp = (np.arange(B) + 0.5) / B if config.crossfade else np.ones(B)
