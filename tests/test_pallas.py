@@ -467,3 +467,31 @@ def test_fused_partitioned_no_crossfade(rng):
                                   dirs[b, 0], dirs[b, 1])
                           for b in range(nb)], -1)
     assert snr_db(ref, y) > 60
+
+
+def test_filter_fft_long_taps_parity(rng):
+    """taps > 192 routes the in-kernel filter rfft through the four-step
+    FFT (use_filter_fft) instead of the dense MAs matmul — same linear
+    map; golden-parity through the public trajectory + scene paths."""
+    from tinaural.data import load_hrir_set
+    from tinaural.ops.pallas_kernels import use_filter_fft
+
+    table = load_hrir_set("synthetic", taps=256)
+    assert use_filter_fft(256, 1024)
+    cfg = RenderConfig(block_size=256, use_pallas=True, pallas_interpret=True)
+    x = rng.standard_normal(4 * 256)
+    nb = 4
+    dirs = np.stack([np.linspace(10, 300, nb), np.linspace(-30, 60, nb)],
+                    axis=1)
+    r = BinauralRenderer(table, cfg)
+    y = np.asarray(r.render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs,
+                                   RenderConfig(block_size=256))
+    assert snr_db(ref, y) > 60
+    xs = rng.standard_normal((3, 4 * 256))
+    sdirs = np.stack([rng.uniform(0, 360, 3), rng.uniform(-40, 90, 3)],
+                     axis=1)
+    ys = np.asarray(r.render_scene(xs, sdirs))
+    refs = golden.render_scene(table, xs, sdirs,
+                               RenderConfig(block_size=256))
+    assert snr_db(refs, ys) > 60

@@ -55,6 +55,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-fuse-epilogue", action="store_true",
                    help="keep the irfft+OLA epilogue in XLA instead of "
                         "the fused inverse-FFT kernel")
+    p.add_argument("--dir-rate", type=int, choices=[1, 2, 4, 8], default=1,
+                   help="update the moving-source HRTF every Nth block "
+                        "(directions snap to the group start; cuts the "
+                        "per-block gather+assembly work by N)")
 
 
 def _config(args) -> RenderConfig:
@@ -69,6 +73,7 @@ def _config(args) -> RenderConfig:
         fft_impl=getattr(args, "fft_impl", "xla"),
         kernel_precision=getattr(args, "kernel_precision", "tri"),
         fuse_epilogue=not getattr(args, "no_fuse_epilogue", False),
+        dir_rate=getattr(args, "dir_rate", 1),
     )
 
 

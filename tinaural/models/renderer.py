@@ -239,10 +239,17 @@ def _use_fused_partitioned(config: RenderConfig, B: int, P: int) -> bool:
 def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
                      B: int) -> bool:
     """Route through the fully-fused block step (in-kernel forward FFT +
-    assembly + MAC at scrambled bins) — requires both kernel gates plus a
-    lane-aligned block size and the bigger VMEM working set to fit."""
-    if not (_use_fused_kernel(config, taps, n_fft)
-            and _use_fused_epilogue(config, n_fft, B)):
+    assembly + MAC at scrambled bins) — needs Pallas enabled, the
+    four-step epilogue layout, a lane-aligned block size, and its own
+    VMEM fit. Deliberately NOT gated on `_use_fused_kernel`: that guards
+    the natural-order fallback kernel, whose dense MAp constant makes it
+    ineligible at 512 taps while the block kernels route the filter rfft
+    through the four-step FFT (use_filter_fft) and stay in budget."""
+    if not config.use_pallas or config.filter_path != "matmul":
+        return False
+    if jax.default_backend() != "tpu" and not config.pallas_interpret:
+        return False
+    if not _use_fused_epilogue(config, n_fft, B):
         return False
     if B % 128 != 0 or B > n_fft:
         return False

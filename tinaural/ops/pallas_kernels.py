@@ -588,6 +588,18 @@ def _vmem_gather(dot, idx_ref, w_ref, ht_ref, dg_ref, chunk: int,
     return h, d, g
 
 
+def use_filter_fft(taps: int, n_fft: int) -> bool:
+    """Route the in-kernel filter rfft through the four-step FFT instead
+    of the dense MAs matmul when the effective filter spans more than
+    two 128-lane groups: stage-3 MACs are 4·Gh·128² per row regardless
+    of taps, vs the dense 2·Tp_p·Fs — equal at Tp_p = 256, ~2.5× fewer
+    at Tp_p = 640 (512-tap KEMAR) — and the (Tp_p, 2·Fs) MAs constant
+    leaves VMEM entirely (11.8 MB at 512 taps), which is what brings
+    long-tap filters under the kernel budget."""
+    Tp_p = _assembly_dims(taps, n_fft)[4]
+    return Tp_p > 256
+
+
 def _expand_rows(Hu: jax.Array, k: int, chunk: int, precision) -> jax.Array:
     """Repeat each filter row k× along sublanes: (chunk/k, F) → (chunk, F)
     with out[r] = Hu[r // k] — the dir_rate expansion. Implemented as a
@@ -605,7 +617,7 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
                         h_val, d_val, g_val, first_ref, xb_ref,
                         m1_ref, mb_ref, ma_ref, trig_ref,
                         fwr, fwi, ffr, ffi, ftr, fti, carry,
-                        dir_rate: int = 1):
+                        dir_rate: int = 1, filter_fft: bool = False):
     """Shared core of the fused block kernels: forward four-step FFT of
     the (ramped) raw blocks + filter assembly at the scrambled bins +
     crossfaded MAC, with the previous filter carried in `carry` rows
@@ -614,6 +626,16 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
     only the chunk/k UNIQUE filters are assembled (the RenderConfig.
     dir_rate fast path) and each is expanded to its k blocks before the
     MAC — identical math to assembling the snapped track per block.
+
+    ``filter_fft``: compute the filter's scrambled rfft by running h_eff
+    through the SAME in-kernel four-step the signal path uses (reusing
+    its constants) instead of the dense MAs matmul. Identical linear map
+    (the scrambled lane holds the true FFT value at bin k1 + n1·k2; for
+    the real h_eff no Hermitian mirror is needed). Stage-3 MACs are
+    4·Gh·128² per row vs the dense 2·Tp_p·Fs — a wash at Tp_p = 256
+    (short taps) but ~2.5× fewer at Tp_p = 640 (512-tap KEMAR), and the
+    (Tp_p, 2·Fs) MAs constant (11.8 MB at 512 taps) drops out of VMEM,
+    which is what makes long-tap filters kernel-eligible at all.
     → ((y0r, y0i), (y1r, y1i)) plane values, (chunk, Fs)."""
     hp = precision
     dot = _kdot(hp)
@@ -628,7 +650,16 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
     G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
                          axis=1)
     h_eff = dot(G2, mb_ref[...])
-    H = dot(h_eff, ma_ref[...])  # (2·cu, 2Fs) rows [ear0; ear1]
+    if filter_fft:
+        rows = 2 * cu
+        Hf_r, Hf_i, _, _ = _forward_fourstep(
+            h_eff, None, n1, Gh, rows, fwr, fwi, ffr, ffi, ftr, fti, hp,
+            need_mirror=False)
+        hl = lambda Z: jnp.concatenate(
+            [Z[kk * rows:(kk + 1) * rows] for kk in range(Gh)], axis=1)
+        H = jnp.concatenate([hl(Hf_r), hl(Hf_i)], axis=1)  # (2cu, 2Fs)
+    else:
+        H = dot(h_eff, ma_ref[...])  # (2·cu, 2Fs) rows [ear0; ear1]
     Hc0 = _expand_rows(H[:cu], dir_rate, chunk, hp)
     Hc1 = _expand_rows(H[cu:], dir_rate, chunk, hp)
 
@@ -678,7 +709,7 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
 
 def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
                            FLp: int, Fs: int, precision, chunk: int,
-                           mix: bool,
+                           mix: bool, filter_fft: bool,
                            h_ref, d_ref, g_ref, first_ref, xb_ref,
                            m1_ref, mb_ref, ma_ref, trig_ref,
                            fwr, fwi, ffr, ffi, ftr, fti,
@@ -699,7 +730,7 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, cs,
         h_ref[...], d_ref[...], g_ref[...], first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
-        fwr, fwi, ffr, ffi, ftr, fti, carry)
+        fwr, fwi, ffr, ffi, ftr, fti, carry, filter_fft=filter_fft)
 
     refs = ((y0r_o, y0i_o), (y1r_o, y1i_o))
     if mix:
@@ -730,7 +761,8 @@ def assembly_mac_s_vmem_bytes(taps: int, n_fft: int) -> int:
     n1 = n_fft // 128
     Gh = n1 // 2 + 1
     Fs = Gh * 128
-    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fs + 8 * FLp)
+    ma_sz = 0 if use_filter_fft(taps, n_fft) else Tp_p * 2 * Fs
+    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + ma_sz + 8 * FLp)
     consts = mats * 4 + (4 * 128 * 128 + 2 * max(n1, 8) * 128) * 4
     ch = _DEFAULT_CHUNK
     work = ch * (taps_p * 2 + 4 * FLp * 2 + Tp_p * 2 + 2 * 2 * Fs  # assembly
@@ -762,6 +794,9 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
     _CHUNK = chunk if chunk is not None else _DEFAULT_CHUNK
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    ff = use_filter_fft(taps, n_fft)
+    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
+        MAs = np.zeros((8, 128), np.float32)
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
 
     nbp = _round_up(max(nb, 1), _CHUNK)
@@ -796,7 +831,7 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
                                    fwr, fwi, ffr, ffi, ftr, fti)]
     outs = pl.pallas_call(
         partial(_assembly_mac_s_kernel, crossfade, n1, Gh, B, FLp, Fs,
-                precision, _CHUNK, False),
+                precision, _CHUNK, False, ff),
         grid=(nch,),
         in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK), vecB]
         + [const(a) for a in cj],
@@ -851,6 +886,9 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
         _DEFAULT_CHUNK, _round_up(nb, _F32_TILE_ROWS))
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    ff = use_filter_fft(taps, n_fft)
+    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
+        MAs = np.zeros((8, 128), np.float32)
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
 
     nbs = _round_up(nb, _CHUNK)
@@ -887,7 +925,7 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
                                    fwr, fwi, ffr, ffi, ftr, fti)]
     outs = pl.pallas_call(
         partial(_assembly_mac_s_kernel, crossfade, n1, Gh, B, FLp, Fs,
-                precision, _CHUNK, True),
+                precision, _CHUNK, True, ff),
         grid=(nchb, S),
         in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK), vecB]
         + [const(a) for a in cj],
@@ -925,7 +963,8 @@ def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
     n1 = n_fft // 128
     Fs = (n1 // 2 + 1) * 128
     ch = _RENDER_CHUNK
-    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + Tp_p * 2 * Fs + 8 * FLp)
+    ma_sz = 0 if use_filter_fft(taps, n_fft) else Tp_p * 2 * Fs
+    mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + ma_sz + 8 * FLp)
     consts = mats * 4 + (8 * 128 * 128 + 4 * max(n1, 8) * 128) * 4
     work = ch * (taps_p * 2 + 4 * FLp * 2 + Tp_p * 2 + 2 * 2 * Fs
                  + n_fft + 4 * n1 * 128 + 4 * (n1 // 2 + 1) * 128
@@ -938,6 +977,7 @@ def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
 def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
                          k_ola: int, FLp: int, Fs: int, precision,
                          chunk: int, S: int, gtab, dir_rate: int,
+                         filter_fft: bool,
                          r1, r2, r3, first_ref, xb_ref,
                          m1_ref, mb_ref, ma_ref, trig_ref,
                          fwr, fwi, ffr, ffi, ftr, fti,
@@ -966,7 +1006,8 @@ def _block_render_kernel(crossfade: bool, n1: int, Gh: int, B: int,
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, 2 * s,
         h, d, g, first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
-        fwr, fwi, ffr, ffi, ftr, fti, hcar, dir_rate=dir_rate)
+        fwr, fwi, ffr, ffi, ftr, fti, hcar, dir_rate=dir_rate,
+        filter_fft=filter_fft)
     (y0r, y0i), (y1r, y1i) = outs
     accs = (a0r, a0i, a1r, a1i)
     vals = (y0r, y0i, y1r, y1i)
@@ -1026,6 +1067,9 @@ def fused_block_render(h, d, g, xbs: jax.Array,
     n1, Gh, Fs, k_ola = _epilogue_dims(n_fft, B)
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    ff = use_filter_fft(taps, n_fft)
+    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
+        MAs = np.zeros((8, 128), np.float32)
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(n_fft)
     gtab = None if idx is None else (taps_p, apply_itd, apply_ild)
@@ -1090,7 +1134,7 @@ def fused_block_render(h, d, g, xbs: jax.Array,
         tail, tail_specs = [dg], [const(dg)]
     y0, y1 = pl.pallas_call(
         partial(_block_render_kernel, crossfade, n1, Gh, B, k_ola, FLp,
-                Fs, precision, ch, S, gtab, k),
+                Fs, precision, ch, S, gtab, k, ff),
         grid=(nchb, S),
         in_specs=lead_specs + [col(ch), vecB]
         + [const(a) for a in cj] + tail_specs,
