@@ -184,14 +184,79 @@ def w_trajectory(use_pallas: bool = True) -> dict:
         "oneshot_ms_incl_rtt": _oneshot(call) * 1e3,
     }
     out.update(_roofline(_render_macs(128, 2048, nb), per))
-    if use_pallas:
-        # the reduced direction-rate lever (RenderConfig.dir_rate): same
-        # workload with the HRTF updated every 4th block (92.9 ms)
-        cfg4 = cfg.replace(dir_rate=4)
-        per4 = _marginal(lambda: _trajectory_fn(r.table, xb, dirs, cfg4),
-                         k1=4, k2=16, reps=5)
-        out["dir_rate4_audio_sec_per_sec"] = (N / SR) / per4
     return out
+
+
+def w_traj_dir4() -> dict:
+    """w_trajectory with the HRTF updated every 4th block (92.9 ms) —
+    the RenderConfig.dir_rate lever. Own subprocess group: measured
+    in-process AFTER the dir_rate=1 sibling it read up to 35% slow
+    (workload-mixing contamination, round-2 finding)."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _trajectory_fn
+
+    N, B = 1 << 23, 1024
+    cfg = RenderConfig(block_size=B, dir_rate=4)
+    r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
+    rng = np.random.default_rng(0)
+    nb = N // B
+    xb = jax.device_put(rng.standard_normal((nb, B)).astype(np.float32))
+    dirs = jax.device_put(
+        np.stack([np.linspace(0, 350, nb) % 360,
+                  40 * np.sin(np.linspace(0, 20, nb))],
+                 axis=1).astype(np.float32))
+    per = _marginal(lambda: _trajectory_fn(r.table, xb, dirs, cfg),
+                    k1=4, k2=16, reps=5)
+    out = {"audio_sec_per_sec": (N / SR) / per}
+    out.update(_roofline(_render_macs(128, 2048, nb, dir_rate=4), per))
+    return out
+
+
+def w_scene_moving_dir4() -> dict:
+    """64 moving sources at dir_rate=4 (own group — see w_traj_dir4)."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _scene_fn
+
+    S, N, B = 64, 1 << 17, 1024
+    cfg = RenderConfig(block_size=B, dir_rate=4)
+    r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
+    rng = np.random.default_rng(2)
+    nb = N // B
+    xbs = jax.device_put(rng.standard_normal((S, nb, B)).astype(np.float32))
+    dirs = jax.device_put(np.stack(
+        [rng.uniform(0, 360, (S, nb)), rng.uniform(-40, 90, (S, nb))],
+        axis=-1).astype(np.float32))
+    per = _marginal(lambda: _scene_fn(r.table, xbs, dirs, cfg), 1, 5)
+    return {"aggregate_audio_sec_per_sec": S * (N / SR) / per}
+
+
+def w_scene256() -> dict:
+    """256 moving sources, ~1.5 s audio each — the larger-scale serving
+    point (the single-launch scene kernel's per-source VMEM carry is the
+    only thing that grows with S)."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _scene_fn
+
+    S, N, B = 256, 1 << 16, 1024
+    cfg = RenderConfig(block_size=B)
+    r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
+    rng = np.random.default_rng(9)
+    nb = N // B
+    xbs = jax.device_put(rng.standard_normal((S, nb, B)).astype(np.float32))
+    dirs = jax.device_put(np.stack(
+        [rng.uniform(0, 360, (S, nb)), rng.uniform(-40, 90, (S, nb))],
+        axis=-1).astype(np.float32))
+    per = _marginal(lambda: _scene_fn(r.table, xbs, dirs, cfg), 1, 5)
+    return {"aggregate_audio_sec_per_sec": S * (N / SR) / per}
 
 
 def w_scene() -> dict:
@@ -245,9 +310,6 @@ def w_scene_moving() -> dict:
     macs["pass_flops"] -= inv
     macs["flops"] -= inv // 3
     out.update(_roofline(macs, per))
-    per4 = _marginal(
-        lambda: _scene_fn(r.table, xbs, dirs, cfg.replace(dir_rate=4)), 1, 5)
-    out["dir_rate4_aggregate_audio_sec_per_sec"] = S * (N / SR) / per4
     return out
 
 
@@ -482,6 +544,11 @@ GROUPS = {
         ("scene", w_scene),
         ("scene_moving", w_scene_moving),
     ],
+    "scale_group": [
+        ("traj_dir4", w_traj_dir4),
+        ("scene_moving_dir4", w_scene_moving_dir4),
+        ("scene256", w_scene256),
+    ],
     "static_group": [("static", w_static), ("brir", w_brir)],
     "stream_group": [("stream", w_stream)],
     "capacity_group": [("capacity", w_capacity)],
@@ -537,9 +604,11 @@ def main() -> None:
     traj = get("traj", "audio_sec_per_sec")
     extras = {
         "1src_trajectory_xla_fallback": get("traj_xla", "audio_sec_per_sec"),
-        "1src_trajectory_dir_rate4": get("traj", "dir_rate4_audio_sec_per_sec"),
+        "1src_trajectory_dir_rate4": get("traj_dir4", "audio_sec_per_sec"),
         "64src_moving_dir_rate4_aggregate": get(
-            "scene_moving", "dir_rate4_aggregate_audio_sec_per_sec"),
+            "scene_moving_dir4", "aggregate_audio_sec_per_sec"),
+        "256src_moving_scene_aggregate": get(
+            "scene256", "aggregate_audio_sec_per_sec"),
         # roofline (docs/BENCH_NOTES.md "Roofline accounting"): static MAC
         # inventory of the fused pipeline / marginal device seconds
         "headline_device_ms": get("traj", "device_ms_per_call", nd=3),

@@ -248,7 +248,7 @@ def test_dir_rate_golden_identity(table, rng):
     nb = 8
     dirs = np.stack([np.linspace(0, 340, nb), np.linspace(-35, 80, nb)],
                     axis=1)
-    for k in (2, 4):
+    for k in (2, 4, 8):
         cfg = RenderConfig(block_size=256, dir_rate=k)
         a = golden.render_trajectory(table, x, dirs, cfg)
         b = golden.render_trajectory(
@@ -280,3 +280,21 @@ def test_dir_rate_parity_trajectory_and_scene(table, rng):
             y = np.asarray(r.render_scene(xs, sdirs))
             ref = golden.render_scene(table, xs, sdirs, cfg)
             assert snr_db(ref, y) > GATE_DB, (k, pallas, "scene")
+
+
+def test_dir_rate_batch_parity(table, rng):
+    """render_batch (the serving route through fused_block_step) at
+    dir_rate=4 matches per-source golden trajectories of the snapped
+    tracks — the flattened-batch unique-filter slicing must respect
+    source boundaries (k | nb alignment)."""
+    S, nb = 3, 8
+    xs = rng.standard_normal((S, nb * 256))
+    dirs = np.stack([rng.uniform(0, 360, (S, nb)),
+                     rng.uniform(-40, 90, (S, nb))], axis=2)
+    cfg = RenderConfig(block_size=256, dir_rate=4, use_pallas=True,
+                       pallas_interpret=True)
+    r = BinauralRenderer(table, cfg)
+    yb = np.asarray(r.render_batch(xs, dirs))
+    for s in range(S):
+        ref = golden.render_trajectory(table, xs[s], dirs[s], cfg)
+        assert snr_db(ref, yb[s]) > GATE_DB, s

@@ -303,7 +303,17 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     # stay at the 8-row f32 tile minimum. Static scenes (per-source
     # constant dirs) always qualify: every block's filter is identical,
     # so assembling every 4th is bit-identical regardless of dir_rate.
-    k_dir = 4 if static_dirs else min(config.dir_rate, 4)
+    # MOVING multi-source scenes keep k = 1 (snap-only): measured on
+    # chip, the (nb/chunk, S) grid leaves the unique-assembly matmuls at
+    # M = 2·chunk/k rows, where the MXU fill overhead erases the pass
+    # savings (dir_rate=4 scene 139k vs 182k aggregate) — while the
+    # S = 1 trajectory gains ~7% (99.5k vs 92.9k).
+    if static_dirs:
+        k_dir = 4
+    elif S == 1:
+        k_dir = min(config.dir_rate, 4)
+    else:
+        k_dir = 1
     kw = dict(crossfade=cf, interpret=config.pallas_interpret,
               precision=_kernel_precision(config), dir_rate=k_dir)
     flat = dirs.reshape(S * nb, 2)
@@ -435,10 +445,19 @@ def _trajectory_spectra_scrambled(table: HrirTable, xbs: jax.Array,
     h, d, g = jax.vmap(lambda a, e: interpolate(table, a, e, config))(
         flat[:, 0], flat[:, 1])
     first = jnp.tile(jnp.zeros((nb,), jnp.float32).at[0].set(1.0), S)
+    # Unique-filter fast path needs every source's span group-aligned in
+    # the flattened batch (k | nb); snapping alone (done by the callers)
+    # keeps the semantics at k = 1. Multi-source batches stay snap-only
+    # for the same measured reason as moving scenes (see _fused_render:
+    # small-M assembly matmuls erase the pass savings).
+    k_dir = min(config.dir_rate, 4) if S == 1 else 1
+    if nb % k_dir:
+        k_dir = 1
     Ysr, Ysi = fused_block_step(h, d, g, xbs.reshape(S * nb, B), first,
                                 taps, n_fft, crossfade=config.crossfade,
                                 interpret=config.pallas_interpret,
-                                precision=_kernel_precision(config))
+                                precision=_kernel_precision(config),
+                                dir_rate=k_dir)
     Fs = Ysr.shape[-1]
     return Ysr.reshape(S, nb, 2, Fs), Ysi.reshape(S, nb, 2, Fs)
 

@@ -600,16 +600,38 @@ def use_filter_fft(taps: int, n_fft: int) -> bool:
     return Tp_p > 256
 
 
+_EXPAND_IMPL = "matmul"  # "matmul" | "broadcast" — see _expand_rows
+
+
 def _expand_rows(Hu: jax.Array, k: int, chunk: int, precision) -> jax.Array:
     """Repeat each filter row k× along sublanes: (chunk/k, F) → (chunk, F)
-    with out[r] = Hu[r // k] — the dir_rate expansion. Implemented as a
-    broadcast+reshape (plain data movement; Mosaic lowers it as copies,
-    no MXU work)."""
+    with out[r] = Hu[r // k] — the dir_rate expansion.
+
+    Two lowerings, A/B'd on chip: "broadcast" (broadcast_to + reshape —
+    VPU sublane copies, which measured EXPENSIVE enough on v5e to erase
+    dir_rate's assembly savings in the scene kernel) and "matmul"
+    (out = E @ Hu with the 0/1 one-hot E built from iotas — a trivial
+    (chunk, cu)-by-(cu, F) MXU op). E is exact in bf16; Hu rides a hi/lo
+    split (2 bf16 passes, ~2⁻¹⁷ relative — the tri error class) unless
+    the kernel precision is HIGHEST, which keeps full f32."""
     if k == 1:
         return Hu
     cu = chunk // k
     F = Hu.shape[-1]
-    return jnp.broadcast_to(Hu[:, None, :], (cu, k, F)).reshape(chunk, F)
+    if _EXPAND_IMPL == "broadcast":
+        return jnp.broadcast_to(Hu[:, None, :], (cu, k, F)).reshape(chunk, F)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, cu), 0) // k
+    ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, cu), 1)
+    f = jnp.float32
+    if precision == "tri":
+        E = (ri == ci).astype(jnp.bfloat16)
+        hh = Hu.astype(jnp.bfloat16)
+        hl = (Hu - hh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(E, hh, preferred_element_type=f)
+                + jnp.dot(E, hl, preferred_element_type=f))
+    E = (ri == ci).astype(jnp.float32)
+    return jnp.dot(E, Hu, preferred_element_type=f,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
@@ -709,7 +731,7 @@ def _block_spectra_core(crossfade: bool, n1: int, Gh: int, B: int,
 
 def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
                            FLp: int, Fs: int, precision, chunk: int,
-                           mix: bool, filter_fft: bool,
+                           mix: bool, filter_fft: bool, dir_rate: int,
                            h_ref, d_ref, g_ref, first_ref, xb_ref,
                            m1_ref, mb_ref, ma_ref, trig_ref,
                            fwr, fwi, ffr, ffi, ftr, fti,
@@ -730,7 +752,8 @@ def _assembly_mac_s_kernel(crossfade: bool, n1: int, Gh: int, B: int,
         crossfade, n1, Gh, B, FLp, Fs, precision, chunk, cs,
         h_ref[...], d_ref[...], g_ref[...], first_ref, xb_ref,
         m1_ref, mb_ref, ma_ref, trig_ref,
-        fwr, fwi, ffr, ffi, ftr, fti, carry, filter_fft=filter_fft)
+        fwr, fwi, ffr, ffi, ftr, fti, carry, dir_rate=dir_rate,
+        filter_fft=filter_fft)
 
     refs = ((y0r_o, y0i_o), (y1r_o, y1i_o))
     if mix:
@@ -773,13 +796,13 @@ def assembly_mac_s_vmem_bytes(taps: int, n_fft: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("taps", "n_fft", "crossfade", "interpret",
-                          "precision", "chunk"))
+                          "precision", "chunk", "dir_rate"))
 def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
                      xb: jax.Array, first: jax.Array,
                      taps: int, n_fft: int, crossfade: bool = True,
                      interpret: bool = False,
                      precision=jax.lax.Precision.HIGHEST,
-                     chunk: int | None = None):
+                     chunk: int | None = None, dir_rate: int = 1):
     """Forward FFT + filter assembly + crossfaded MAC in one Pallas launch.
 
     h: (nb, 2, taps); d, g: (nb, 2); xb: (nb, B) RAW time blocks (the
@@ -787,6 +810,13 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
     → (Ysr, Ysi): (nb, 2, Fs) f32 block-spectrum planes in the
     scrambled-half layout of `fused_epilogue` — chain the two for the
     fully-fused block path (no XLA FFT anywhere).
+
+    ``dir_rate`` = k > 1: callers pass SNAPPED per-block h/d/g (the
+    RenderConfig.dir_rate semantics); only rows [::k] are read and the
+    chunk/k unique filters are assembled per grid step. Requires
+    k | chunk and chunk/k ≥ 8, and every source's span in the flattened
+    batch must be a multiple of the chunk (the renderer's padding
+    guarantees this).
     """
     nb, B = xb.shape
     n1, Gh, Fs, _ = _epilogue_dims(n_fft, 128)
@@ -799,15 +829,21 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
         MAs = np.zeros((8, 128), np.float32)
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
 
+    k = dir_rate
+    if _CHUNK % k or _CHUNK // k < _F32_TILE_ROWS:
+        raise ValueError(f"dir_rate {k} incompatible with chunk {_CHUNK}")
+    cu = _CHUNK // k
     nbp = _round_up(max(nb, 1), _CHUNK)
     pb = nbp - nb
     nch = nbp // _CHUNK
-    R = 2 * _CHUNK
+    R = 2 * cu
 
-    def rows(z, lanes):  # (nb, 2, lanes) → chunk-major (2·nbp, lanes)
+    def rows(z, lanes):  # (nb, 2, lanes) → chunk-major (2·nbp/k, lanes)
         z = jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
-        z = z.reshape(nch, _CHUNK, 2, -1).transpose(0, 2, 1, 3)
-        return z.reshape(2 * nbp, lanes)
+        if k > 1:
+            z = z[::k]
+        z = z.reshape(nch, cu, 2, -1).transpose(0, 2, 1, 3)
+        return z.reshape(2 * (nbp // k), lanes)
 
     hR = rows(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)]), taps_p)
     dR = rows(d[..., None], 1)
@@ -831,7 +867,7 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
                                    fwr, fwi, ffr, ffi, ftr, fti)]
     outs = pl.pallas_call(
         partial(_assembly_mac_s_kernel, crossfade, n1, Gh, B, FLp, Fs,
-                precision, _CHUNK, False, ff),
+                precision, _CHUNK, False, ff, k),
         grid=(nch,),
         in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK), vecB]
         + [const(a) for a in cj],
@@ -925,7 +961,7 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
                                    fwr, fwi, ffr, ffi, ftr, fti)]
     outs = pl.pallas_call(
         partial(_assembly_mac_s_kernel, crossfade, n1, Gh, B, FLp, Fs,
-                precision, _CHUNK, True, ff),
+                precision, _CHUNK, True, ff, 1),
         grid=(nchb, S),
         in_specs=[rowblk(taps_p), col(R), col(R), col(_CHUNK), vecB]
         + [const(a) for a in cj],
