@@ -107,7 +107,9 @@ def _render_macs(taps: int, n_fft: int, blocks: int, dir_rate: int = 1,
 
     `blocks` counts (source, block) pairs for the per-pair stages; the
     inverse runs once per OUTPUT block — pass them via the same number
-    for 1-source renders and scale externally for scenes."""
+    for 1-source renders and scale externally for scenes. ``rows_p`` is
+    the padded in-kernel gather table (synthetic KEMAR grid: 14x72 =
+    1008 directions -> 1024 rows)."""
     n1 = n_fft // 128
     Gh = n1 // 2 + 1
     Fs = Gh * 128
@@ -183,7 +185,8 @@ def w_trajectory(use_pallas: bool = True) -> dict:
         "audio_sec_per_sec": (N / SR) / per,
         "oneshot_ms_incl_rtt": _oneshot(call) * 1e3,
     }
-    out.update(_roofline(_render_macs(128, 2048, nb), per))
+    if use_pallas:  # the MAC model describes the fused pipeline only
+        out.update(_roofline(_render_macs(128, 2048, nb), per))
     return out
 
 

@@ -258,9 +258,9 @@ def _use_fused_block(config: RenderConfig, taps: int, n_fft: int,
     return vmem.fits_block_step(taps, n_fft)
 
 
-# Rough per-table-row VMEM work (bytes/4) of the in-kernel gather's
-# one-hot weight matrix at _RENDER_CHUNK rows incl. the tri hi/lo splits.
-_RENDER_GATHER_WORK = 32
+# Per-table-row VMEM work (floats) of the in-kernel gather's one-hot
+# weight matrix: one float per chunk row, times the tri hi/lo splits
+# (x3) at the use site — scales with the launch chunk.
 
 
 def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
@@ -272,7 +272,10 @@ def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
         return False
     from ..ops import vmem
 
-    return vmem.fits_block_render(taps, n_fft, B, S)
+    # Price single-source renders at the chunk-64 launch they will use
+    # (nb < 64 renders are smaller than the estimate either way).
+    return vmem.fits_block_render(taps, n_fft, B, S,
+                                  chunk=64 if S == 1 else None)
 
 
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
@@ -314,15 +317,22 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
         k_dir = min(config.dir_rate, 4)
     else:
         k_dir = 1
+    # Grid-step chunk: 64 for single-source renders (interleaved on-chip
+    # A/B at the official workload: 99k vs 92k a-s/s at dir_rate=1,
+    # 117k vs 103k at dir_rate=4 — bigger matmul M-occupancy), the
+    # default 32 for scenes (the (chunks, S) grid multiplies the VMEM
+    # working set; 32 is the measured-safe point there).
     kw = dict(crossfade=cf, interpret=config.pallas_interpret,
-              precision=_kernel_precision(config), dir_rate=k_dir)
+              precision=_kernel_precision(config), dir_rate=k_dir,
+              chunk=64 if S == 1 and nb >= 64 else None)
     flat = dirs.reshape(S * nb, 2)
 
     taps_p = -(-taps // 128) * 128
-    table_bytes = rows_p * (2 * taps_p + 128 + 3 * _RENDER_GATHER_WORK) * 4
+    table_bytes = rows_p * (2 * taps_p + 128 + 3 * (kw["chunk"] or 32)) * 4
     if (rows_p <= _GATHER_MAX_ROWS
             and vmem.fits_block_render(taps, n_fft, B, S,
-                                       extra_bytes=table_bytes)):
+                                       extra_bytes=table_bytes,
+                                       chunk=kw["chunk"])):
         eidx, aidx, wts = jax.vmap(lambda a, e: direction_weights(
             table.elevs, table.az_counts, a, e, config.interp))(
                 flat[:, 0], flat[:, 1])

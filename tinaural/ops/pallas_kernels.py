@@ -990,15 +990,17 @@ _RENDER_CHUNK = 32
 
 
 def block_render_vmem_bytes(taps: int, n_fft: int, B: int,
-                            n_sources: int) -> int:
+                            n_sources: int, chunk: int | None = None) -> int:
     """VMEM estimate of the single-launch render kernel (both cores'
-    constants + working sets at _RENDER_CHUNK, the plane accumulator, the
-    per-source filter carries, and the OLA tail carry). Pure shape
-    arithmetic — never materialises the matrices."""
+    constants + working sets at ``chunk`` — pass the SAME chunk the
+    launch will use (default _RENDER_CHUNK) so the gate prices the real
+    working set — the plane accumulator, the per-source filter carries,
+    and the OLA tail carry). Pure shape arithmetic — never materialises
+    the matrices."""
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
     n1 = n_fft // 128
     Fs = (n1 // 2 + 1) * 128
-    ch = _RENDER_CHUNK
+    ch = chunk if chunk is not None else _RENDER_CHUNK
     ma_sz = 0 if use_filter_fft(taps, n_fft) else Tp_p * 2 * Fs
     mats = (taps_p * 2 * FLp + 2 * FLp * Tp_p + ma_sz + 8 * FLp)
     consts = mats * 4 + (8 * 128 * 128 + 4 * max(n1, 8) * 128) * 4

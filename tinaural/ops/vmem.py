@@ -73,12 +73,16 @@ def fits_block_mix(taps: int, n_fft: int, n_sources: int) -> bool:
 
 
 def fits_block_render(taps: int, n_fft: int, B: int, n_sources: int,
-                      extra_bytes: int = 0) -> bool:
+                      extra_bytes: int = 0,
+                      chunk: int | None = None) -> bool:
     """Single-launch render kernel; ``extra_bytes`` adds the in-kernel
-    gather's VMEM-resident table when that mode is considered."""
+    gather's VMEM-resident table when that mode is considered. Pass the
+    ``chunk`` the launch will actually use so the estimate prices the
+    real per-grid-step working set (the renderer uses 64 for
+    single-source trajectories, the default 32 for scenes)."""
     from .pallas_kernels import block_render_vmem_bytes
 
-    return (block_render_vmem_bytes(taps, n_fft, B, n_sources)
+    return (block_render_vmem_bytes(taps, n_fft, B, n_sources, chunk=chunk)
             + extra_bytes) < RENDER_BUDGET
 
 
