@@ -306,25 +306,26 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
     # stay at the 8-row f32 tile minimum. Static scenes (per-source
     # constant dirs) always qualify: every block's filter is identical,
     # so assembling every 4th is bit-identical regardless of dir_rate.
-    # MOVING multi-source scenes keep k = 1 (snap-only): measured on
-    # chip, the (nb/chunk, S) grid leaves the unique-assembly matmuls at
-    # M = 2·chunk/k rows, where the MXU fill overhead erases the pass
-    # savings (dir_rate=4 scene 139k vs 182k aggregate) — while the
-    # S = 1 trajectory gains ~7% (99.5k vs 92.9k).
     if static_dirs:
         k_dir = 4
-    elif S == 1:
-        k_dir = min(config.dir_rate, 4)
     else:
-        k_dir = 1
-    # Grid-step chunk: 64 for single-source renders (interleaved on-chip
-    # A/B at the official workload: 99k vs 92k a-s/s at dir_rate=1,
-    # 117k vs 103k at dir_rate=4 — bigger matmul M-occupancy), the
-    # default 32 for scenes (the (chunks, S) grid multiplies the VMEM
-    # working set; 32 is the measured-safe point there).
+        k_dir = min(config.dir_rate, 4)
+    # Grid-step chunk (interleaved same-process on-chip A/Bs at the
+    # official workloads — serialized in-jit device ms):
+    #   S=1:  64 beats 32 at both dir rates (99k vs 92k a-s/s at dir1,
+    #         117k vs 103k at dir4 — doubled matmul M-occupancy).
+    #   S=64 moving: dir1 keeps chunk 32 (1.705 ms vs 1.987 at 64 —
+    #         the (chunks, S) grid already fills the MXU); dir4 takes
+    #         chunk 64 (1.392 ms vs 1.468 at 32 vs 1.705 dir1: the
+    #         unique-assembly matmuls recover M = 2·chunk/k = 32 rows).
+    #         Round 3's isolated-process A/B concluded dir4 LOST here
+    #         (139k vs 182k) — cross-process swing; the interleaved
+    #         measurement reverses it. chunk 128 fails Mosaic compile
+    #         (VMEM), matching the 24 MiB render budget.
+    big = 64 if (S == 1 or k_dir == 4) and nb >= 64 else None
     kw = dict(crossfade=cf, interpret=config.pallas_interpret,
               precision=_kernel_precision(config), dir_rate=k_dir,
-              chunk=64 if S == 1 and nb >= 64 else None)
+              chunk=big)
     flat = dirs.reshape(S * nb, 2)
 
     taps_p = -(-taps // 128) * 128
