@@ -1,6 +1,11 @@
-"""Round-4: (chunk 32/64/128) x (dir_rate 1/4) for the 64-src moving
+"""Round-4: (chunk 32/64/96) x (dir_rate 1/4) for the 64-src moving
 scene at the official bench shape (S=64, nb=128, B=1024, taps=128),
 interleaved in one process, serialized in-jit device time.
+
+MEASURED (2026-08-17, the 96 sweep): dir4 — 96 wins: 1.240 ms vs
+1.385 (64) vs 1.567 (32); dir1 — 32 stays best: 1.690 vs 1.783 (96)
+vs 1.943 (64). Shipped as the 96 → 64 → 32 ladder for fast-path
+launches, chunk 32 for dir1 scenes (models.renderer._fused_render).
 
 Motivation: the scene runs at 78.5% of bf16 peak at chunk=32/k=1, and
 the round's dir_rate=4 A/B LOST there (139k vs 182k aggregate) because
@@ -11,6 +16,10 @@ MXU sublane fill) while the VMEM estimate stays under budget
 at chunk 128 ~ 18 MiB empirical, compile-probed here).
 
 Run alone on the chip: python scripts/profile_r4_scene_chunk.py
+
+(Chunk 128 failed the Mosaic compile in the first sweep — the tuple now
+probes 96, the largest-compiling point, after the headline chunk-96 win
+in profile_r4_chunk96.py.)
 """
 
 from __future__ import annotations
@@ -81,7 +90,7 @@ def main():
         return one, rep
 
     fns = {}
-    for ch in (32, 64, 128):
+    for ch in (32, 64, 96):
         for k in (1, 4):
             try:
                 one, rep = make(ch, k)

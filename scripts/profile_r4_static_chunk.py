@@ -1,11 +1,15 @@
-"""Round-4: static 64-src scene — kernel chunk 32 vs 64 at the always-
-exact k_dir=4 unique-assembly (constant per-source filters), official
-bench shape (S=64, nb=128, B=1024, taps=128, crossfade=False),
-interleaved in one process, serialized in-jit device time.
+"""Round-4: static 64-src scene — kernel launch chunks at the always-
+exact k_dir=4 unique-assembly (constant per-source filters), S=64,
+B=1024, taps=128, crossfade=False, interleaved in one process,
+serialized in-jit device time.
 
-The moving-scene A/B (profile_r4_scene_chunk.py) showed chunk 64 wins at
-k=4 (1.392 vs 1.468 ms); this confirms (or reverts) the same choice for
-the static route before it ships.
+MEASURED (2026-08-17): at the official N=2^17 (≈0.8 ms/call — UNDER the
+tunnel dispatch floor) the probe returned negative raw marginals and a
+spurious chunk-64 "win"; at N=2^18 (nb=256, above the floor) chunk 96
+wins cleanly: 1.472 ms vs 1.796 (tight raws, +22%) — agreeing with the
+moving-scene and trajectory sweeps. The renderer's chunk ladder
+(96 → 64 → 32, models.renderer._fused_render) therefore applies
+uniformly; earlier sweep history: 64 beat 32 here 0.826 vs 1.609 ms.
 
 Run alone on the chip: python scripts/profile_r4_static_chunk.py
 """
@@ -36,7 +40,7 @@ K = 4
 def main():
     table = jax.device_put(load_hrir_set("synthetic"))
     rng = np.random.default_rng(3)
-    S, N, B = 64, 1 << 17, 1024
+    S, N, B = 64, 1 << 18, 1024
     nb = N // B
     taps, n_fft = 128, 2048
     xbs = jax.device_put(rng.standard_normal((S, nb, B)).astype(np.float32))
@@ -71,7 +75,7 @@ def main():
         return one, rep
 
     fns = {}
-    for ch in (32, 64):
+    for ch in (64, 96):
         try:
             one, rep = make(ch)
             float(np.asarray(one(xbs)))

@@ -300,13 +300,16 @@ def test_dir_rate_batch_parity(table, rng):
         assert snr_db(ref, yb[s]) > GATE_DB, s
 
 
-def test_chunk64_routes_parity(table, rng):
-    """The nb >= 64 renders launch the fused render kernel at chunk=64
+def test_big_chunk_routes_parity(table, rng):
+    """The nb >= 64 renders launch the fused render kernel at chunk=96
     (S=1 always; scenes when the dir_rate=4 unique-assembly fast path
-    fires — both routed in models.renderer._fused_render). Lock the
-    big-chunk grid/padding/OLA-carry algebra against the oracle in
-    interpret mode; the nb=8 tests above never leave chunk 32."""
-    nb, B = 64, 256
+    fires — both routed in models.renderer._fused_render's chunk
+    ladder). Lock the big-chunk grid/padding/OLA-carry algebra against
+    the oracle in interpret mode; the nb=8 tests above never leave
+    chunk 32. nb=102 exercises a multi-chunk grid whose final dir_rate
+    group is PARTIAL (102 = 25·4 + 2) and whose padded row count (192)
+    crosses a chunk boundary off the nb itself."""
+    nb, B = 102, 256
     x = rng.standard_normal(nb * B)
     dirs = np.stack([np.linspace(300, 60, nb) % 360,
                      np.linspace(35, -25, nb)], axis=1)
@@ -318,13 +321,13 @@ def test_chunk64_routes_parity(table, rng):
     r = BinauralRenderer(table, cfg)
     y = np.asarray(r.render_trajectory(x, dirs))
     ref = golden.render_trajectory(table, x, dirs, cfg)
-    assert snr_db(ref, y) > GATE_DB, "traj chunk64 dir4"
+    assert snr_db(ref, y) > GATE_DB, "traj chunk96 dir4"
     y = np.asarray(r.render_scene(xs, sdirs))
     ref = golden.render_scene(table, xs, sdirs, cfg)
-    assert snr_db(ref, y) > GATE_DB, "scene chunk64 dir4"
-    # static scene ((S, 2) dirs) -> crossfade-free kernel at chunk 64
+    assert snr_db(ref, y) > GATE_DB, "scene chunk96 dir4"
+    # static scene ((S, 2) dirs) -> crossfade-free kernel at chunk 96
     s0 = np.ascontiguousarray(sdirs[:, 0])
     ys = np.asarray(r.render_scene(xs, s0))
     refs = golden.render_scene(
         table, xs, np.broadcast_to(s0[:, None], (2, nb, 2)), cfg)
-    assert snr_db(refs, ys) > GATE_DB, "static scene chunk64"
+    assert snr_db(refs, ys) > GATE_DB, "static scene chunk96"

@@ -272,10 +272,10 @@ def _use_fused_render(config: RenderConfig, taps: int, n_fft: int, B: int,
         return False
     from ..ops import vmem
 
-    # Price single-source renders at the chunk-64 launch they will use
-    # (nb < 64 renders are smaller than the estimate either way).
-    return vmem.fits_block_render(taps, n_fft, B, S,
-                                  chunk=64 if S == 1 else None)
+    # Price at the MINIMUM launch chunk (32): route eligibility must not
+    # over-reject — _fused_render's own chunk ladder (96 → 64 → 32) then
+    # upgrades to whatever the budget admits for the actual launch.
+    return vmem.fits_block_render(taps, n_fft, B, S)
 
 
 def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
@@ -312,17 +312,27 @@ def _fused_render(table: HrirTable, xbs: jax.Array, dirs: jax.Array,
         k_dir = min(config.dir_rate, 4)
     # Grid-step chunk (interleaved same-process on-chip A/Bs at the
     # official workloads — serialized in-jit device ms):
-    #   S=1:  64 beats 32 at both dir rates (99k vs 92k a-s/s at dir1,
-    #         117k vs 103k at dir4 — doubled matmul M-occupancy).
-    #   S=64 moving: dir1 keeps chunk 32 (1.705 ms vs 1.987 at 64 —
-    #         the (chunks, S) grid already fills the MXU); dir4 takes
-    #         chunk 64 (1.392 ms vs 1.468 at 32 vs 1.705 dir1: the
-    #         unique-assembly matmuls recover M = 2·chunk/k = 32 rows).
-    #         Round 3's isolated-process A/B concluded dir4 LOST here
-    #         (139k vs 182k) — cross-process swing; the interleaved
-    #         measurement reverses it. chunk 128 fails Mosaic compile
-    #         (VMEM), matching the 24 MiB render budget.
-    big = 64 if (S == 1 or k_dir == 4) and nb >= 64 else None
+    #   S=1:  96 > 64 > 32 at both dir rates (dir1 1.911 vs 2.098 ms,
+    #         dir4 1.488 vs 1.695 — bigger matmul M-occupancy).
+    #   S=64 moving: dir1 keeps chunk 32 (1.690 ms vs 1.943 at 64,
+    #         1.783 at 96 — the (chunks, S) grid already fills the
+    #         MXU); dir4 takes 96 (1.240 ms vs 1.385 at 64, 1.567 at
+    #         32: the unique-assembly matmuls recover M = 2·chunk/k =
+    #         48 rows). Round 3's isolated-process A/B concluded dir4
+    #         LOST here (139k vs 182k) — cross-process swing; the
+    #         interleaved measurement reverses it. chunk 128 fails the
+    #         Mosaic compile (VMEM) — the 31 MiB render budget's
+    #         pre-filter matches, so the ladder below never probes it.
+    #   dir_rate=8 (all routes): a wash vs 4 (profile_r4_dir8.py) —
+    #         hence the k_dir cap at 4 above.
+    # The ladder degrades 96 → 64 → 32 by the VMEM pre-filter so big
+    # taps/n_fft configs keep the single-launch route at a chunk that
+    # fits rather than losing it (or the Mosaic fallback) outright.
+    big = None
+    if (S == 1 or k_dir == 4) and nb >= 64:
+        big = next((c for c in (96, 64)
+                    if vmem.fits_block_render(taps, n_fft, B, S, chunk=c)),
+                   None)
     kw = dict(crossfade=cf, interpret=config.pallas_interpret,
               precision=_kernel_precision(config), dir_rate=k_dir,
               chunk=big)

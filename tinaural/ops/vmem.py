@@ -31,11 +31,16 @@ The budgets are EMPIRICAL, not derived:
   measurement: the single-launch render kernel at an estimated ~22 MiB
   compiles and runs — the estimators double-count buffers Mosaic's
   liveness analysis reuses, by roughly 2×).
-- ``RENDER_BUDGET`` (24 MiB): the single-launch render kernel's bound.
-  Same empirical basis: chunk-64 configs estimated at ~22 MiB compile
-  and run; 64-src scenes at B=1024 with the in-kernel gather (~15 MiB
-  estimated) have run since round 3. The Mosaic-failure fallback
-  (below) is the safety net the old tight budgets were standing in for.
+- ``RENDER_BUDGET`` (31 MiB): the single-launch render kernel's bound.
+  Same empirical basis: chunk-96 configs estimated at 27.3–28.3 MiB
+  (+ ~2 MiB in-kernel gather table → 30.3 MiB total at the 64-src
+  scene) compile, run, and WIN the on-chip A/Bs (profile_r4_chunk96 /
+  profile_r4_scene_chunk), while chunk 128 (est. 35+ MiB) is a real
+  Mosaic compile failure — so 31 MiB admits everything measured-good
+  and still pre-filters the measured-bad point. Chunk-64 configs
+  (~22 MiB estimated) have compiled and run since mid round 4. The
+  Mosaic-failure fallback (below) is the safety net the old tight
+  budgets were standing in for.
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ import logging
 _log = logging.getLogger("tinaural")
 
 KERNEL_BUDGET = 16 << 20
-RENDER_BUDGET = 24 << 20
+RENDER_BUDGET = 31 << 20
 
 
 # ----------------------------------------------------------- gate functions
@@ -78,8 +83,9 @@ def fits_block_render(taps: int, n_fft: int, B: int, n_sources: int,
     """Single-launch render kernel; ``extra_bytes`` adds the in-kernel
     gather's VMEM-resident table when that mode is considered. Pass the
     ``chunk`` the launch will actually use so the estimate prices the
-    real per-grid-step working set (the renderer uses 64 for
-    single-source trajectories, the default 32 for scenes)."""
+    real per-grid-step working set (the renderer ladders 96 → 64 → 32
+    through this function; dir_rate=1 moving scenes stay at the
+    default 32 — measured, see models.renderer._fused_render)."""
     from .pallas_kernels import block_render_vmem_bytes
 
     return (block_render_vmem_bytes(taps, n_fft, B, n_sources, chunk=chunk)
