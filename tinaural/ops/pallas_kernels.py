@@ -1599,12 +1599,13 @@ def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("taps", "block", "crossfade", "interpret",
-                          "precision"))
+                          "precision", "chunk"))
 def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
                       ph_re, ph_im, started,
                       taps: int, block: int, crossfade: bool = True,
                       interpret: bool = False,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      chunk: int | None = None):
     """Batched streaming step in one Pallas launch.
 
     h: (S, 2, taps); d, g: (S, 2); xb, prev_in: (S, B);
@@ -1612,6 +1613,8 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     partitions; started: (S,) 1.0 after the first push.
     → (y (S, 2, B), fdl_re', fdl_im', ph_re', ph_im') in the same public
     state formats as tinaural.models.streaming.StreamState.
+    ``chunk`` overrides the per-grid-step stream tile (profiling /
+    tuning; None = the measured default).
     """
     S, B = xb.shape
     M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
@@ -1619,7 +1622,7 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     # Per-grid-step stream chunk: small batches stay compact, large ones
     # tile at MXU-friendly row counts; memory per step is O(chunk), so
     # the serving batch size is unbounded.
-    SC = min(64, _round_up(max(S, 1), 8))
+    SC = chunk if chunk is not None else min(64, _round_up(max(S, 1), 8))
     Sp = _round_up(max(S, 1), SC)
     ps = Sp - S
     nch = Sp // SC
