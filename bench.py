@@ -415,17 +415,58 @@ def _batched_push_cost(bs, blocks, azs, els) -> float:
             else min(fenced_b(16) for _ in range(2)) / 16)
 
 
+def _push_many_cost(bs, blocks, azs, els) -> float:
+    """Pipelined marginal seconds per BLOCK via `push_many` (K blocks
+    per dispatch, device-staged inputs, one fence per call)."""
+    K = blocks.shape[0]
+
+    def fenced(n):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = bs.push_many(blocks, azs, els)
+        float(np.asarray(y[-1, 0, 0, -1]))
+        return time.perf_counter() - t0
+
+    bs.push_many(blocks, azs, els)
+    if PRIME:
+        fenced(1)
+        return float("inf")
+    fenced(2)
+    fenced(1), fenced(4)  # discarded settle pair
+    ests = [(fenced(4) - fenced(1)) / 3 for _ in range(3)]
+    pos = [e for e in ests if e > 0]
+    per_call = (float(np.median(pos)) if len(pos) >= 2
+                else min(fenced(4) for _ in range(2)) / 4)
+    return per_call / K
+
+
 def w_capacity() -> dict:
-    """Serving-capacity curve (round-2 VERDICT weak #5): batched-stream
-    push latency at S ∈ {256, 1024} listeners per launch. The gridded
-    fused kernel's per-step VMEM is O(chunk), so capacity is set by how
-    per-launch latency grows with S — the number a deployment needs.
-    Real-time capacity per chip = max_S S·(block_audio)/push_time."""
+    """Serving-capacity curve (round-2 VERDICT weak #5) at S ∈ {256,
+    1024} listeners per launch, two regimes per point:
+
+    - ``push_ms_S``: pipelined marginal per single-block `push` — one
+      dispatch and one host→device audio transfer per block. Through
+      this tunnel the number is bound by that transfer (~50 MB/s ⇒
+      ~21 ms at S=1024 vs 0.13 ms of chip time — BENCH_NOTES round 4),
+      so it is the host-paced worst case, kept for round-over-round
+      continuity.
+    - ``sustained_push_ms_S``: per-block cost via `push_many` (K=32
+      state-chained blocks per dispatch, device-staged audio, per-block
+      direction updates, one fence) — the chip's sustained serving rate,
+      which is what a host-attached deployment sees (1 MB/block of h2d
+      is ~10 µs on PCIe, noise).
+
+    Real-time capacity per chip = max_S S·(block_audio)/push_time on the
+    sustained number; the per-dispatch capacity is reported alongside as
+    ``realtime_listeners_per_block_dispatch``."""
+    import jax
+
     from tinaural.config import RenderConfig
     from tinaural.data import load_hrir_set
     from tinaural.models import BatchedStream
 
-    B = 256
+    B, K = 256, 32
     table = load_hrir_set("synthetic")
     out = {}
     for S in (256, 1024):
@@ -437,7 +478,20 @@ def w_capacity() -> dict:
         per = _batched_push_cost(bs, blocks, azs, els)
         out[f"push_ms_{S}"] = per * 1e3
         out[f"aggregate_{S}"] = S * (B / SR) / per
+        # sustained regime: K queued blocks/listener, slowly moving heads
+        bs2 = BatchedStream(table, S, RenderConfig(stream_block=B))
+        mblocks = jax.device_put(
+            rngb.standard_normal((K, S, B)).astype(np.float32))
+        mazs = jax.device_put(
+            (azs[None] + 2.0 * np.arange(K, dtype=np.float32)[:, None])
+            % 360.0)
+        mels = jax.device_put(np.broadcast_to(els, (K, S)).copy())
+        per_s = _push_many_cost(bs2, mblocks, mazs, mels)
+        out[f"sustained_push_ms_{S}"] = per_s * 1e3
+        out[f"sustained_aggregate_{S}"] = S * (B / SR) / per_s
     out["realtime_listeners_per_chip"] = max(
+        v for k, v in out.items() if k.startswith("sustained_aggregate_"))
+    out["realtime_listeners_per_block_dispatch"] = max(
         v for k, v in out.items() if k.startswith("aggregate_"))
     return out
 
@@ -635,8 +689,17 @@ def main() -> None:
             "stream", "batched64_aggregate_audio_sec_per_sec"),
         "stream_batched256_push_ms": get("capacity", "push_ms_256", nd=3),
         "stream_batched1024_push_ms": get("capacity", "push_ms_1024", nd=3),
+        "stream_sustained256_push_ms": get(
+            "capacity", "sustained_push_ms_256", nd=4),
+        "stream_sustained1024_push_ms": get(
+            "capacity", "sustained_push_ms_1024", nd=4),
+        # sustained = push_many(K=32) with device-staged audio: the chip's
+        # serving rate (round 4 — the per-dispatch number below is bound
+        # by the tunnel's per-push h2d, see BENCH_NOTES)
         "serving_realtime_listeners_per_chip": get(
             "capacity", "realtime_listeners_per_chip"),
+        "serving_listeners_per_block_dispatch": get(
+            "capacity", "realtime_listeners_per_block_dispatch"),
         "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),
         "snr_vs_cpu_golden_db": get("snr", "snr_db"),
         "snr_gate_db": 60.0,

@@ -152,10 +152,20 @@ def test_stream_push_budgets(stream_result):
 
 def test_serving_capacity(capacity_result):
     """Batched-stream serving capacity (round-2 VERDICT weak #5 asked for
-    the number): ≥120 real-time listeners/chip — the r02 level; r03
-    measured 222–318 across the series."""
-    _gated(capacity_result["capacity"]["realtime_listeners_per_chip"], 120,
+    the number), both regimes:
+
+    - sustained (`push_many`, K blocks/dispatch, device-staged audio —
+      the chip's serving rate): r04 measured 19.9k–28.1k listeners/chip;
+      floor 5,000 leaves the documented 4× cross-process swing.
+    - per-block-dispatch (one push + one tunnel h2d per block — the
+      host-paced worst case): ≥120, the r02 level; r03–r04 measured
+      200–318."""
+    _gated(capacity_result["capacity"]["realtime_listeners_per_chip"], 5000,
            "capacity_group", "capacity", "realtime_listeners_per_chip")
+    _gated(capacity_result["capacity"][
+               "realtime_listeners_per_block_dispatch"], 120,
+           "capacity_group", "capacity",
+           "realtime_listeners_per_block_dispatch")
 
 
 def test_parity_gate_on_chip(traj_result):

@@ -1,6 +1,7 @@
 """Property-based tests (SURVEY.md §4.2: hypothesis over random az/el,
 lengths, block sizes) + batched streaming."""
 
+import jax
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -103,6 +104,39 @@ def test_batched_stream_matches_individual(table, rng):
         for s in range(S):
             ys = np.asarray(singles[s].push(blocks[s], azs[s] + step, els[s]))
             assert snr_db(ys, yb[s]) > 100
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_push_many_matches_sequential_pushes(table, rng, interpret):
+    """push_many(K blocks in one dispatch) matches K sequential push()
+    calls — same outputs, same carried state — on both the XLA step and
+    the fused kernel (interpret) routes. The fused route is bit-exact
+    (same kernel either way); the XLA route is float-exact only (the
+    scan body compiles with different fusion than the standalone step)."""
+    cfg = RenderConfig(stream_block=256, pallas_interpret=interpret)
+    S, K, B = 3, 5, 256
+    bs_seq = BatchedStream(table, S, cfg)
+    bs_many = BatchedStream(table, S, cfg)
+    blocks = rng.standard_normal((K, S, B)).astype(np.float32)
+    azs = rng.uniform(0, 360, (K, S)).astype(np.float32)
+    els = rng.uniform(-40, 90, (K, S)).astype(np.float32)
+    ys = np.stack([np.asarray(bs_seq.push(blocks[k], azs[k], els[k]))
+                   for k in range(K)])
+    ym = np.asarray(bs_many.push_many(blocks, azs, els))
+    assert ym.shape == (K, S, 2, B)
+    assert snr_db(ys, ym) > 120
+    for a, b in zip(jax.tree.leaves(bs_seq.state),
+                    jax.tree.leaves(bs_many.state)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert (np.array_equal(a, b)
+                or snr_db(a, b) > 120), "state diverged"
+    # constant-direction broadcast form: (S,) azs/els
+    y2 = np.asarray(bs_many.push_many(blocks, azs[0], els[0]))
+    assert y2.shape == (K, S, 2, B)
+    with pytest.raises(ValueError):
+        bs_many.push_many(blocks[0], azs, els)       # missing K axis
+    with pytest.raises(ValueError):
+        bs_many.push_many(blocks, azs[:, :2], els)   # bad dirs shape
 
 
 def test_stream_crossfade_suppresses_zipper(table, rng):

@@ -214,6 +214,25 @@ def _batch_step_core(table, state, xbs, azs, els, config):
 _batch_step_fn = with_xla_fallback(_batch_step_core)
 
 
+def _batch_scan_core(table, state, xbs, azs, els, config):
+    """K state-chained batched steps in ONE device call.
+
+    xbs (K, S, B), azs/els (K, S) → (state', ys (K, S, 2, B)) — the
+    lax.scan analog of `_scan_core` with a leading stream axis; each
+    step is the same `_batch_step_core` the per-block push uses, so the
+    result is bit-identical to K sequential pushes.
+    """
+
+    def body(st, inp):
+        xb, az, el = inp
+        return _batch_step_core(table, st, xb, az, el, config)
+
+    return jax.lax.scan(body, state, (xbs, azs, els))
+
+
+_batch_scan_fn = with_xla_fallback(_batch_scan_core)
+
+
 class BatchedStream:
     """S independent low-latency streams on one chip (serving mode).
 
@@ -257,6 +276,44 @@ class BatchedStream:
         self._state, y = _batch_step_fn(self.table, self._state, blocks,
                                         azs, els, self.config)
         return y
+
+    def push_many(self, blocks, azs, els) -> jax.Array:
+        """Advance every stream K blocks in ONE device call.
+
+        blocks: (K, S, B); azs, els: (K, S), or (S,) to hold each
+        listener's direction constant over the burst → (K, S, 2, B),
+        matching K sequential `push` calls (state advances K blocks;
+        bit-identical on the fused-kernel route, float-exact on the XLA
+        route where the scan body compiles with different fusion).
+
+        This is the sustained-serving entry point: a deployment that
+        queues K blocks per listener pays ONE dispatch (and one
+        host→device transfer when the audio arrives as host arrays) per
+        K·S blocks, amortising the per-call overhead that bounds
+        per-block `push` — the chip's per-block compute is orders of
+        magnitude under that overhead on a network-attached host (see
+        docs/BENCH_NOTES.md round 4). Latency rises to K blocks; pick K
+        per deployment's latency budget.
+        """
+        B = self.config.stream_block
+        blocks = _as_f32(blocks)
+        if blocks.ndim != 3 or blocks.shape[1:] != (self.n_streams, B):
+            raise ValueError(
+                f"blocks must be (K, {self.n_streams}, {B}), "
+                f"got {blocks.shape}")
+        K = blocks.shape[0]
+        azs, els = _as_f32(azs), _as_f32(els)
+        if azs.shape == (self.n_streams,):
+            azs = jnp.broadcast_to(azs[None], (K, self.n_streams))
+        if els.shape == (self.n_streams,):
+            els = jnp.broadcast_to(els[None], (K, self.n_streams))
+        if azs.shape != (K, self.n_streams) or els.shape != azs.shape:
+            raise ValueError(
+                f"azs/els must be ({K}, {self.n_streams}) or "
+                f"({self.n_streams},), got {azs.shape}/{els.shape}")
+        self._state, ys = _batch_scan_fn(self.table, self._state, blocks,
+                                         azs, els, self.config)
+        return ys
 
 
 class Stream:
