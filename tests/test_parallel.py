@@ -123,3 +123,27 @@ def test_sharded_batched_stream_matches_golden(table, rng):
     svc.state = saved  # device_put in the setter
     b = np.asarray(svc.push(blocks, azs, els))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_push_many_matches_sequential(table, rng):
+    """ShardedBatchedStream.push_many (K blocks, one device program) ==
+    K sequential sharded pushes, per listener across shard boundaries."""
+    from tinaural.parallel import ShardedBatchedStream, make_mesh
+
+    cfg = RenderConfig(stream_block=256)
+    mesh = make_mesh((8, 1))
+    S, K, B = 16, 4, 256
+    svc_seq = ShardedBatchedStream(table, S, mesh, cfg)
+    svc_many = ShardedBatchedStream(table, S, mesh, cfg)
+    blocks = rng.standard_normal((K, S, B)).astype(np.float32)
+    azs = rng.uniform(0, 360, (K, S)).astype(np.float32)
+    els = rng.uniform(-40, 90, (K, S)).astype(np.float32)
+    ys = np.stack([np.asarray(svc_seq.push(blocks[k], azs[k], els[k]))
+                   for k in range(K)])
+    ym = np.asarray(svc_many.push_many(blocks, azs, els))
+    assert ym.shape == (K, S, 2, B)
+    assert snr_db(ys, ym) > 120
+    for a, b in zip(jax.tree.leaves(svc_seq.state),
+                    jax.tree.leaves(svc_many.state)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(a, b) or snr_db(a, b) > 120, "state diverged"

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.streaming import _as_f32, _batch_step_fn, init_state
+from ..models.streaming import (_as_f32, _batch_scan_fn, _batch_step_fn,
+                                init_state)
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -39,6 +40,25 @@ def _sharded_step_fn(table, state, xbs, azs, els, config, mesh):
     )
     def step(table, state, xbs, azs, els):
         return _batch_step_fn(table, state, xbs, azs, els, config)
+
+    return step(table, state, xbs, azs, els)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_scan_fn(table, state, xbs, azs, els, config, mesh):
+    """K state-chained sharded steps in one device program: the block
+    axis (K, leading) is unsharded, listeners (axis 1) ride ``src``."""
+    spec_k = P(None, "src")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("src"), spec_k, spec_k, spec_k),
+        out_specs=(P("src"), spec_k),
+        check_vma=False,
+    )
+    def step(table, state, xbs, azs, els):
+        return _batch_scan_fn(table, state, xbs, azs, els, config)
 
     return step(table, state, xbs, azs, els)
 
@@ -90,3 +110,32 @@ class ShardedBatchedStream:
         self._state, y = _sharded_step_fn(self.table, self._state, blocks,
                                           azs, els, self.config, self.mesh)
         return y
+
+    def push_many(self, blocks, azs, els) -> jax.Array:
+        """Advance every listener K blocks in ONE device program.
+
+        blocks: (K, S, B); azs, els: (K, S), or (S,) held constant →
+        (K, S, 2, B). The multi-chip analog of
+        `BatchedStream.push_many`: still collective-free (the scan
+        chains each shard's own state), so the sustained serving rate
+        scales with the chip count.
+        """
+        B = self.config.stream_block
+        blocks = _as_f32(blocks)
+        if blocks.ndim != 3 or blocks.shape[1:] != (self.n_streams, B):
+            raise ValueError(
+                f"blocks must be (K, {self.n_streams}, {B}), "
+                f"got {blocks.shape}")
+        K = blocks.shape[0]
+        azs, els = _as_f32(azs), _as_f32(els)
+        if azs.shape == (self.n_streams,):
+            azs = jnp.broadcast_to(azs[None], (K, self.n_streams))
+        if els.shape == (self.n_streams,):
+            els = jnp.broadcast_to(els[None], (K, self.n_streams))
+        if azs.shape != (K, self.n_streams) or els.shape != azs.shape:
+            raise ValueError(
+                f"azs/els must be ({K}, {self.n_streams}) or "
+                f"({self.n_streams},), got {azs.shape}/{els.shape}")
+        self._state, ys = _sharded_scan_fn(self.table, self._state, blocks,
+                                           azs, els, self.config, self.mesh)
+        return ys
