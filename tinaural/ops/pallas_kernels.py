@@ -1384,17 +1384,21 @@ def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
 
 
 @partial(jax.jit,
-         static_argnames=("B", "P", "crossfade", "interpret", "precision"))
+         static_argnames=("B", "P", "crossfade", "interpret", "precision",
+                          "chunk"))
 def fused_partitioned_step(xb: jax.Array, Hr: jax.Array, Hi: jax.Array,
                            first: jax.Array, B: int, P: int,
                            crossfade: bool = True, interpret: bool = False,
-                           precision=jax.lax.Precision.HIGHEST):
+                           precision=jax.lax.Precision.HIGHEST,
+                           chunk: int | None = None):
     """Batched partitioned convolution (post-assembly) in one launch.
 
     xb: (nb, B) raw blocks; Hr, Hi: (nb, P·2·Fs2) f32 planes of the
     per-block filter partitions in the scrambled-half layout of
     `_scramble_maps(2B)`, lanes [partition][ear][bin]; first: (nb,).
     → (2, nb·B) — the streaming renderer's exact output, batched.
+    ``chunk`` overrides the per-grid-step block tile (profiling /
+    tuning; None = the measured default).
     """
     nb = xb.shape[0]
     n1p = (2 * B) // 128
@@ -1404,7 +1408,7 @@ def fused_partitioned_step(xb: jax.Array, Hr: jax.Array, Hi: jax.Array,
     fwr, fwi, ffr_, ffi_, ftr, fti = _forward_fft_consts(2 * B)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(2 * B)
 
-    ch = _PART_CHUNK
+    ch = chunk if chunk is not None else _PART_CHUNK
     nbp = _round_up(max(nb, 1), ch)
     pb = nbp - nb
     pad = lambda z: jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
