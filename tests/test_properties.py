@@ -133,6 +133,16 @@ def test_push_many_matches_sequential_pushes(table, rng, interpret):
     # constant-direction broadcast form: (S,) azs/els
     y2 = np.asarray(bs_many.push_many(blocks, azs[0], els[0]))
     assert y2.shape == (K, S, 2, B)
+    # int16 PCM ingestion: transfers 2 bytes/sample, scales on device by
+    # the read_wav convention (x / 2^15) — must equal the f32 push of
+    # the same scaled signal
+    pcm = (np.clip(blocks, -1, 1) * (2.0**15 - 1)).astype(np.int16)
+    bs_a = BatchedStream(table, S, cfg)
+    bs_b = BatchedStream(table, S, cfg)
+    ya = np.asarray(bs_a.push_many(pcm, azs, els))
+    yb = np.asarray(bs_b.push_many(
+        pcm.astype(np.float32) * np.float32(2.0**-15), azs, els))
+    np.testing.assert_array_equal(ya, yb)
     with pytest.raises(ValueError):
         bs_many.push_many(blocks[0], azs, els)       # missing K axis
     with pytest.raises(ValueError):

@@ -31,9 +31,18 @@ from ..ops.interp import interpolate
 
 def _as_f32(x) -> jax.Array:
     """Coerce push inputs to f32: zero-copy (on-device cast) for jax
-    arrays, host conversion otherwise."""
+    arrays, host conversion otherwise — EXCEPT int16, which transfers as
+    int16 and scales to [-1, 1] on device (the `read_wav` PCM
+    convention). 16-bit PCM is what a serving front-end actually
+    receives, and sending it raw halves the host→device bytes — the
+    quantity that bounds the per-dispatch serving rate over any
+    host↔device link (docs/BENCH_NOTES.md round 4)."""
+    if isinstance(x, np.ndarray) and x.dtype == np.int16:
+        x = jnp.asarray(x)  # h2d at 2 bytes/sample
     if not isinstance(x, jax.Array):
         return jnp.asarray(np.asarray(x, dtype=np.float32))
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * np.float32(2.0**-15)
     return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
 
