@@ -32,6 +32,34 @@ def test_fft_pair_packing_exact(rng):
     assert snr_db(np.fft.irfft(Br, n), np.asarray(yb)) > 120
 
 
+def test_filter_partitions_packed_matches_unpacked(rng):
+    """The ear-packed fft-chain assembly (pack=True — the BRIR-path
+    default via config.fft_pack) is the same linear map as the unpacked
+    chain, per partition, both impls. Measured 127.6 dB on chip; this
+    pins the CPU lowering too."""
+    import jax
+    import jax.numpy as jnp
+    from tinaural.ops.filters import filter_partitions
+
+    taps, block = 2048, 512
+    h = rng.standard_normal((4, 2, taps)).astype(np.float32) * 0.1
+    d = rng.uniform(-8, 8, (4, 2)).astype(np.float32)
+    g = rng.uniform(0.5, 1.5, (4, 2)).astype(np.float32)
+
+    def run(pack, impl="xla"):
+        f = jax.jit(jax.vmap(lambda hh, dd, gg: filter_partitions(
+            hh, dd, gg, taps, block, use_matmul=False, pack=pack,
+            impl=impl)))
+        H = f(h, d, g)
+        return np.asarray(jnp.stack([H.real, H.imag]))
+
+    ref = run(False)
+    for impl in ("xla", "matmul"):
+        got = run(True, impl)
+        assert got.shape == ref.shape
+        assert snr_db(ref, got) > 110, impl
+
+
 def test_mmfft_matches_numpy(rng):
     """Two-stage matmul FFT == np.fft.fft/ifft to f32 precision."""
     import jax

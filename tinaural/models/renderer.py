@@ -659,7 +659,8 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
                                           scramble_spectra)
 
         Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(
-            hh, dd, gg, taps, B, use_matmul=use_mm))(h, d, g)  # (nb,P,2,F2)
+            hh, dd, gg, taps, B, use_matmul=use_mm, pack=pack,
+            impl=config.fft_impl))(h, d, g)  # (nb, P, 2, F2)
         Hsr, Hsi = scramble_spectra(Hb, 2 * B)  # (nb, P, 2, Fs2)
         first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
         return fused_partitioned_step(
@@ -679,7 +680,8 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         Yn, Yp = _partitioned_scan(table, X, h, d, g, taps, B, P, config)
     else:
         Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(
-            hh, dd, gg, taps, B, use_matmul=use_mm))(h, d, g)  # (nb, P, 2, F)
+            hh, dd, gg, taps, B, use_matmul=use_mm, pack=pack,
+            impl=config.fft_impl))(h, d, g)  # (nb, P, 2, F)
         Xs = shifted_stack(X, P)  # (P, nb, F)
         Yn = partitioned_mac(Xs, Hb)
         Yp = None
@@ -714,7 +716,8 @@ def _partitioned_scan(table, X, h, d, g, taps: int, B: int, P: int,
     escape hatch stays available in the long-BRIR regime (round-1
     advisor finding) — the full (nb, P, 2, F) tensor never exists.
     """
-    from ..ops.filters import (_partition_zoom_matrices, effective_filter,
+    from ..ops.filters import (_effective_filter_packed,
+                               _partition_zoom_matrices, effective_filter,
                                ramped_spectrum_planes)
 
     nb = X.shape[0]
@@ -726,7 +729,10 @@ def _partitioned_scan(table, X, h, d, g, taps: int, B: int, P: int,
         M2 = jnp.asarray(m2).reshape(-1, P, 2 * F2)  # (2FL, P, 2F2)
         G2 = ramped_spectrum_planes(h, d, g, taps)  # (nb, 2, 2FL)
     else:
-        h_eff = effective_filter(h, d, g, taps)  # (nb, 2, T_eff)
+        h_eff = (_effective_filter_packed(h, d, g, taps,
+                                          impl=config.fft_impl)
+                 if config.fft_pack != "off"
+                 else effective_filter(h, d, g, taps))  # (nb, 2, T_eff)
         h_pad = jnp.pad(h_eff, ((0, 0), (0, 0),
                                 (0, P * B - h_eff.shape[-1])))
     Xpad = jnp.pad(X, ((P - 1, 0), (0, 0)))  # delay line source

@@ -87,7 +87,9 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     B = config.stream_block
     h, d, g = interpolate(table, az, el, config)
     return filter_partitions(h, d, g, table.h.shape[-1], B,
-                             use_matmul=config.filter_path != "fft")
+                             use_matmul=config.filter_path != "fft",
+                             pack=config.fft_pack != "off",
+                             impl=config.fft_impl)
 
 
 def _use_fused_step(table: HrirTable, config: RenderConfig,
