@@ -1262,16 +1262,19 @@ def partitioned_step_vmem_bytes(B: int, P: int) -> int:
 _PART_CHUNK = 32  # blocks per grid step of the partitioned kernel
 
 
-def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
-                        precision, chunk: int,
-                        xb_ref, hr_ref, hi_ref, first_ref,
-                        fwr, fwi, ftr, fti,
-                        iwr, iwi, ifr, ifi, itr, iti,
-                        y0_o, y1_o, xcar, dcar, hrcar, hicar):
-    """One grid step = `chunk` blocks of the batched partitioned conv."""
-    dot = _kdot(precision)
+def _partitioned_conv_core(crossfade: bool, n1p: int, Ghp: int, B: int,
+                           P: int, dot, chunk: int,
+                           x, Hr, Hi, fm,
+                           fwr, fwi, ftr, fti,
+                           iwr, iwi, ifr, ifi, itr, iti,
+                           y0_o, y1_o, xcar, dcar, hrcar, hicar):
+    """Shared post-filter body of the partitioned kernels: overlap-save
+    frames (carried), forward four-step at 2B, the P-partition
+    frequency-domain delay-line MAC under the given (chunk, P·2·Fs2)
+    filter rows, the crossfade pair, and the ear-packed inverse tails.
+    Callers differ only in where Hr/Hi come from (precomputed rows vs
+    the in-kernel assembly)."""
     Fs2 = Ghp * 128
-    n2 = 2 * B
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -1281,7 +1284,6 @@ def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
         hicar[...] = jnp.zeros_like(hicar)
 
     # ---- overlap-save frames via the previous-row carry
-    x = xb_ref[...]  # (chunk, B)
     xprev = jnp.concatenate([xcar[0:1], x[:-1]], axis=0)
     xcar[0:1] = x[-1:]
     frame = jnp.concatenate([xprev, x], axis=1)  # (chunk, 2B)
@@ -1312,9 +1314,7 @@ def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
         dcar[0:km] = ztot[chunk:chunk + km]
 
     # ---- per-block filter partitions (+ previous-block row for crossfade)
-    Hr, Hi = hr_ref[...], hi_ref[...]  # (chunk, P·2·Fs2)
     if crossfade:
-        fm = first_ref[...]  # (chunk, 1)
         Hpr = jnp.where(fm > 0.5, Hr,
                         jnp.concatenate([hrcar[0:1], Hr[:-1]], axis=0))
         Hpi = jnp.where(fm > 0.5, Hi,
@@ -1381,6 +1381,22 @@ def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
     else:
         y0_o[...] = yn0
         y1_o[...] = yn1
+
+
+def _partitioned_kernel(crossfade: bool, n1p: int, Ghp: int, B: int, P: int,
+                        precision, chunk: int,
+                        xb_ref, hr_ref, hi_ref, first_ref,
+                        fwr, fwi, ftr, fti,
+                        iwr, iwi, ifr, ifi, itr, iti,
+                        y0_o, y1_o, xcar, dcar, hrcar, hicar):
+    """One grid step = `chunk` blocks of the batched partitioned conv
+    with PRE-ASSEMBLED filter rows."""
+    _partitioned_conv_core(
+        crossfade, n1p, Ghp, B, P, _kdot(precision), chunk,
+        xb_ref[...], hr_ref[...], hi_ref[...],
+        first_ref[...] if crossfade else None,
+        fwr, fwi, ftr, fti, iwr, iwi, ifr, ifi, itr, iti,
+        y0_o, y1_o, xcar, dcar, hrcar, hicar)
 
 
 @partial(jax.jit,
