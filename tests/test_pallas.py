@@ -388,6 +388,39 @@ def test_fused_partitioned_matches_golden_stream(rng, taps):
     assert snr_db(ref, y) > 60
 
 
+@pytest.mark.parametrize("taps,B", [(2048, 512), (512, 256)])
+def test_inkernel_partitioned_assembly_parity(rng, taps, B):
+    """part_assembly="kernel" (the in-kernel inverse-L / truncation /
+    per-partition forward chain, derivation validated at 1e-14 in
+    scripts/derive_partitioned_inkernel_assembly.py) == the XLA-assembled
+    fused route, and both match GoldenStream."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models.renderer import _partitioned_fn
+    from tinaural.ops import vmem
+
+    tb = jax.device_put(load_hrir_set("synthetic", taps=taps))
+    P = -(-(taps + 64) // B)
+    assert vmem.fits_partitioned_asm(taps, B, P)
+    nb = 8
+    xb = jnp.asarray(rng.standard_normal((nb, B)).astype(np.float32))
+    dirs = jnp.asarray(np.stack(
+        [np.linspace(0, 300, nb), np.linspace(-30, 50, nb)],
+        axis=1).astype(np.float32))
+    cfg_x = RenderConfig(stream_block=B, pallas_interpret=True,
+                         part_assembly="xla")
+    cfg_k = RenderConfig(stream_block=B, pallas_interpret=True,
+                         part_assembly="kernel")
+    yx = np.asarray(_partitioned_fn(tb, xb, dirs, cfg_x))
+    yk = np.asarray(_partitioned_fn(tb, xb, dirs, cfg_k))
+    assert snr_db(yx, yk) > 90
+    gs = golden.GoldenStream(tb, RenderConfig(stream_block=B))
+    x = np.asarray(xb).reshape(-1)
+    ref = np.concatenate([gs.push(x[b * B:(b + 1) * B].astype(np.float64),
+                                  float(dirs[b, 0]), float(dirs[b, 1]))
+                          for b in range(nb)], -1)
+    assert snr_db(ref, yk[:, :ref.shape[-1]]) > 60
+
+
 def test_fused_block_render_single_launch(table, rng):
     """The single-launch render kernel (spectra core + inverse+OLA
     composed in VMEM, scene mixdown in the plane accumulator) == golden

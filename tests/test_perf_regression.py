@@ -119,8 +119,12 @@ def test_static_direct_fft_beats_target(static_result):
 
 def test_brir_partitioned_throughput(static_result):
     """2048-tap moving BRIR through the fused partitioned kernel
-    (round-3 VERDICT #4 bar: ≥2,000× RT; r03 series 2,091–9,754)."""
-    _gated(static_result["brir"]["audio_sec_per_sec"], 2_000,
+    (round-3 VERDICT #4 bar: ≥2,000× RT). Floor raised to 3,500 for the
+    round-4 in-kernel assembly route (serialized 7,918× on chip vs the
+    old route's official 3,035–3,220) so a routing regression back to
+    the XLA assembly is caught, while ~50% headroom absorbs tunnel
+    swing."""
+    _gated(static_result["brir"]["audio_sec_per_sec"], 3_500,
            "static_group", "brir", "audio_sec_per_sec")
 
 

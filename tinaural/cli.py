@@ -59,6 +59,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="update the moving-source HRTF every Nth block "
                         "(directions snap to the group start; cuts the "
                         "per-block gather+assembly work by N)")
+    p.add_argument("--part-assembly", choices=["kernel", "xla"],
+                   default="kernel",
+                   help="BRIR filter assembly: in the partitioned "
+                        "kernel (default; 1.78x measured) or the "
+                        "packed-XLA fft chain (same math)")
 
 
 def _config(args) -> RenderConfig:
@@ -74,6 +79,7 @@ def _config(args) -> RenderConfig:
         kernel_precision=getattr(args, "kernel_precision", "tri"),
         fuse_epilogue=not getattr(args, "no_fuse_epilogue", False),
         dir_rate=getattr(args, "dir_rate", 1),
+        part_assembly=getattr(args, "part_assembly", "kernel"),
     )
 
 

@@ -99,6 +99,16 @@ class RenderConfig:
         is path-speed-dependent: the filter lags the true direction by
         at most (dir_rate−1)·block/sr seconds. Must divide into the
         fused kernels' 32-row chunk: one of 1, 2, 4, 8.
+      part_assembly: where the partitioned (BRIR) renderer assembles its
+        per-block filter partitions when the fft chain is in effect —
+        ``"kernel"`` (default; in-kernel: the ramped L-spectrum planes
+        ride into the partitioned kernel, which runs the inverse-L /
+        truncation / per-partition forward four-steps in VMEM — same
+        linear map, derivation validated to 1e-14 in
+        scripts/derive_partitioned_inkernel_assembly.py, measured 1.78×
+        the packed-XLA chain on chip at 106.8 dB parity, see
+        BENCH_NOTES round 4) or ``"xla"`` (the packed-FFT chain; also
+        the automatic fallback whenever the kernel is ineligible).
     """
 
     sample_rate: int = 44100
@@ -118,8 +128,13 @@ class RenderConfig:
     fft_impl: str = "xla"
     out_length: str = "full"
     dir_rate: int = 1
+    part_assembly: str = "kernel"
 
     def __post_init__(self):
+        if self.part_assembly not in ("xla", "kernel"):
+            raise ValueError(
+                f"part_assembly must be xla|kernel, "
+                f"got {self.part_assembly!r}")
         if self.interp not in ("nearest", "bilinear"):
             raise ValueError(f"interp must be nearest|bilinear, got {self.interp!r}")
         if self.out_length not in ("full", "same"):

@@ -650,19 +650,45 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         dirs[:, 0], dirs[:, 1])
 
     if _use_fused_partitioned(config, B, P):
-        # Fused path: assembly stays in XLA (long-BRIR zoom matrices
-        # overflow VMEM), everything after — frames, forward FFT, the
-        # delay-line MAC, the crossfade pair, the inverse tails — runs in
-        # one Pallas launch (round-3 VERDICT #4: the least TPU-native
-        # path left).
-        from ..ops.pallas_kernels import (fused_partitioned_step,
+        # Fused path: everything after assembly — frames, forward FFT,
+        # the delay-line MAC, the crossfade pair, the inverse tails —
+        # runs in one Pallas launch (round-3 VERDICT #4). With
+        # part_assembly="kernel" the fft-chain assembly itself moves
+        # in-kernel too (round-4: the XLA assembly measured ~14× the
+        # kernel's own time at the 2048-tap shape): XLA keeps only
+        # rfft_L(h)·ramp·gain, the kernel does the inverse-L,
+        # truncation, P segment transforms, and the scramble in VMEM.
+        from ..ops import vmem
+        from ..ops.pallas_kernels import (fused_partitioned_assembled,
+                                          fused_partitioned_step,
                                           scramble_spectra)
+
+        first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
+        if (not use_mm and config.part_assembly == "kernel"
+                and vmem.fits_partitioned_asm(taps, B, P)):
+            from ..ops.fftpack import rfft_pair
+            from ..ops.filters import (ALIGN_GUARD, delay_ramp,
+                                       next_pow2)
+
+            L = next_pow2(taps + DELAY_PAD)
+            dd = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD,
+                          DELAY_PAD - 16.0)  # effective_filter's clip
+            A, Bs = rfft_pair(h[:, 0], h[:, 1], L, impl=config.fft_impl)
+            ramp = delay_ramp(L, dd)  # (nb, 2, FL)
+            A = A * ramp[:, 0] * g[:, 0, None]
+            Bs = Bs * ramp[:, 1] * g[:, 1, None]
+            Ar, Ai = scramble_spectra(A, L)
+            Brr, Bri = scramble_spectra(Bs, L)
+            return fused_partitioned_assembled(
+                xb, Ar, Ai, Brr, Bri, first, taps, B, P,
+                crossfade=config.crossfade,
+                interpret=config.pallas_interpret,
+                precision=_kernel_precision(config))
 
         Hb = jax.vmap(lambda hh, dd, gg: filter_partitions(
             hh, dd, gg, taps, B, use_matmul=use_mm, pack=pack,
             impl=config.fft_impl))(h, d, g)  # (nb, P, 2, F2)
         Hsr, Hsi = scramble_spectra(Hb, 2 * B)  # (nb, P, 2, Fs2)
-        first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
         return fused_partitioned_step(
             xb, Hsr.reshape(nb, -1), Hsi.reshape(nb, -1), first, B, P,
             crossfade=config.crossfade, interpret=config.pallas_interpret,

@@ -1455,6 +1455,240 @@ def fused_partitioned_step(xb: jax.Array, Hr: jax.Array, Hi: jax.Array,
     return jnp.stack([y0[:nb].reshape(-1), y1[:nb].reshape(-1)], axis=0)
 
 
+# ---------------- in-kernel BRIR filter assembly (round 4) -----------------
+#
+# The packed-FFT round-4 work left the XLA-side assembly (effective-filter
+# irfft_L + P segment rffts + scramble) at ~14× the partitioned kernel's
+# own time at the 2048-tap bench shape. This stage moves all of it in
+# kernel: the ramped L-spectrum planes ride in (scrambled-half layout,
+# one per ear), the kernel runs the ear-packed inverse four-step at L,
+# masks the effective-filter truncation in time, and emits each
+# partition's 2B spectra through an ear-packed forward four-step with
+# the Hermitian mirror tile — exactly the Hr/Hi rows the conv core MACs.
+# Layout algebra validated to 1e-14 against numpy.fft BEFORE this
+# implementation: scripts/derive_partitioned_inkernel_assembly.py.
+
+
+def _asm_filters(dot, chunk: int, P: int, B: int, n1p: int, Ghp: int,
+                 n1L: int, GhL: int, T_pad: int,
+                 ar, ai, br, bi,
+                 fwr, fwi, ftr, fti, fmr, fmi,
+                 lwr, lwi, lfr, lfi, ltr, lti):
+    """In-kernel filter assembly → (Hr, Hi) (chunk, P·2·Fs2).
+
+    ar/ai, br/bi: (chunk, GhL·128) scrambled-half planes of the two
+    ears' ramped L-spectra (rfft_L(h)·ramp·gain). Consts: forward at 2B
+    (incl. the mirror pair fmr/fmi) and inverse at L.
+    """
+    # ear-pack + inverse four-step at L (same algebra as
+    # _inverse_ola_core; no OLA — the result is the effective filter)
+    zyr, zyi = ar - bi, ai + br
+    ztr, zti = ar + bi, br - ai
+    g = lambda z, gi: z[:, gi * 128:(gi + 1) * 128]
+    Dr = jnp.concatenate([g(zyr, gi) for gi in range(GhL)], axis=0)
+    Di = jnp.concatenate([g(zyi, gi) for gi in range(GhL)], axis=0)
+    W, Wi_ = lwr[...], lwi[...]
+    F1a_r = dot(Dr, W) - dot(Di, Wi_)
+    F1a_i = dot(Dr, Wi_) + dot(Di, W)
+    Mr = jnp.concatenate([g(ztr, n1L - gi) for gi in range(GhL, n1L)],
+                         axis=0)
+    Mi = jnp.concatenate([g(zti, n1L - gi) for gi in range(GhL, n1L)],
+                         axis=0)
+    Wf, Wfi_ = lfr[...], lfi[...]
+    F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
+    F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
+    F2 = []
+    for gi in range(n1L):
+        if gi < GhL:
+            fr = F1a_r[gi * chunk:(gi + 1) * chunk]
+            fi = F1a_i[gi * chunk:(gi + 1) * chunk]
+        else:
+            j = gi - GhL
+            fr = F1b_r[j * chunk:(j + 1) * chunk]
+            fi = F1b_i[j * chunk:(j + 1) * chunk]
+        tr, ti = ltr[gi:gi + 1, :], lti[gi:gi + 1, :]
+        F2.append((fr * tr - fi * ti, fr * ti + fi * tr))
+    zg = _tile_fft(F2, n1L, +1.0)  # time tiles: t = i1·128 + i2 (packed)
+
+    # per-partition ear-packed forward at 2B with the Hermitian mirror,
+    # truncation mask folded into the group list (group tiles past T_pad
+    # are dropped, the boundary tile lane-masked — the effective_filter
+    # [:T_pad] truncation)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    nseg_g = B // 128
+    W2, W2i = fwr[...], fwi[...]
+    Wm, Wmi = fmr[...], fmi[...]
+    lanes = lambda Z: jnp.concatenate(
+        [Z[kk * chunk:(kk + 1) * chunk] for kk in range(Ghp)], axis=1)
+    Hr_parts, Hi_parts = [], []
+    for p in range(P):
+        gl = []
+        for j in range(n1p):
+            i1 = p * nseg_g + j
+            if j >= nseg_g or i1 * 128 >= T_pad:
+                gl.append(None)  # zero-pad half / fully-truncated tile
+                continue
+            xr_t, xi_t = zg[i1]
+            if (i1 + 1) * 128 > T_pad:
+                m = (lane < (T_pad - i1 * 128)).astype(jnp.float32)
+                xr_t, xi_t = xr_t * m, xi_t * m
+            gl.append((xr_t, xi_t))
+        S1 = _tile_fft(gl, n1p, -1.0)
+        T_r, T_i = [], []
+        for kk in range(n1p):
+            sr, si = S1[kk]
+            tr, ti = ftr[kk:kk + 1, :], fti[kk:kk + 1, :]
+            T_r.append(sr * tr - si * ti)
+            T_i.append(sr * ti + si * tr)
+        Ar_ = jnp.concatenate(T_r[:Ghp], axis=0)
+        Ai_ = jnp.concatenate(T_i[:Ghp], axis=0)
+        Zf_r = dot(Ar_, W2) - dot(Ai_, W2i)
+        Zf_i = dot(Ar_, W2i) + dot(Ai_, W2)
+        # mirror tile C = conj(Z[−k]) — same construction as
+        # _forward_fourstep's need_mirror branch
+        U0_r = dot(T_r[0], W2) + dot(T_i[0], W2i)
+        U0_i = -dot(T_r[0], W2i) + dot(T_i[0], W2)
+        Br_ = jnp.concatenate([T_r[n1p - kk] for kk in range(1, Ghp)],
+                              axis=0)
+        Bi_ = jnp.concatenate([T_i[n1p - kk] for kk in range(1, Ghp)],
+                              axis=0)
+        Um_r = dot(Br_, Wm) - dot(Bi_, Wmi)
+        Um_i = dot(Br_, Wmi) + dot(Bi_, Wm)
+        C_r = jnp.concatenate([U0_r, Um_r], axis=0)
+        C_i = -jnp.concatenate([U0_i, Um_i], axis=0)
+        # unpack ears in the lane-concat layout:
+        # H0 = (Zf + C)/2, H1 = (Zf − C)/(2j)
+        Zfr_l, Zfi_l = lanes(Zf_r), lanes(Zf_i)
+        Cr_l, Ci_l = lanes(C_r), lanes(C_i)
+        Hr_parts += [0.5 * (Zfr_l + Cr_l), 0.5 * (Zfi_l - Ci_l)]
+        Hi_parts += [0.5 * (Zfi_l + Ci_l), -0.5 * (Zfr_l - Cr_l)]
+    return (jnp.concatenate(Hr_parts, axis=1),
+            jnp.concatenate(Hi_parts, axis=1))
+
+
+def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
+                            P: int, precision, chunk: int,
+                            n1L: int, GhL: int, T_pad: int,
+                            xb_ref, ar_ref, ai_ref, br_ref, bi_ref,
+                            first_ref,
+                            fwr, fwi, ftr, fti, fmr, fmi,
+                            iwr, iwi, ifr, ifi, itr, iti,
+                            lwr, lwi, lfr, lfi, ltr, lti,
+                            y0_o, y1_o, xcar, dcar, hrcar, hicar):
+    """One grid step = `chunk` blocks: in-kernel filter assembly from the
+    ramped L-spectrum planes, then the shared partitioned conv body."""
+    dot = _kdot(precision)
+    Hr, Hi = _asm_filters(
+        dot, chunk, P, B, n1p, Ghp, n1L, GhL, T_pad,
+        ar_ref[...], ai_ref[...], br_ref[...], bi_ref[...],
+        fwr, fwi, ftr, fti, fmr, fmi, lwr, lwi, lfr, lfi, ltr, lti)
+    _partitioned_conv_core(
+        crossfade, n1p, Ghp, B, P, dot, chunk,
+        xb_ref[...], Hr, Hi, first_ref[...] if crossfade else None,
+        fwr, fwi, ftr, fti, iwr, iwi, ifr, ifi, itr, iti,
+        y0_o, y1_o, xcar, dcar, hrcar, hicar)
+
+
+def partitioned_asm_vmem_bytes(taps: int, B: int, P: int,
+                               chunk: int | None = None) -> int:
+    """VMEM estimate of the assembling partitioned kernel (constants +
+    per-grid-step working set + carries), for the eligibility gate."""
+    from ..ops.filters import DELAY_PAD, next_pow2
+
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    n1L = L // 128
+    GhL = n1L // 2 + 1
+    n1p = (2 * B) // 128
+    Fs2 = (n1p // 2 + 1) * 128
+    ch = chunk if chunk is not None else _PART_CHUNK
+    consts = (6 * 128 * 128 + 4 * max(n1L, 8) * 128
+              + 4 * max(n1p, 8) * 128) * 4
+    asm_work = ch * (4 * GhL * 128          # input planes
+                     + 4 * n1L * 128 * 2    # F1 + F2/zg tiles
+                     + 6 * Fs2 * 2          # per-seg fwd transients ×2
+                     + 2 * P * 2 * Fs2) * 4  # assembled H rows
+    conv_work = ch * (2 * B * 3 + 4 * n1p * 128 + 6 * Fs2
+                      + 2 * P * 2 * Fs2     # crossfade prev rows
+                      + 16 * Fs2 + 4 * 2 * B + 2 * B) * 4
+    carries = (8 * B + max(8, P - 1) * 2 * Fs2 + 2 * 8 * P * 2 * Fs2) * 4
+    return consts + asm_work + conv_work + carries
+
+
+@partial(jax.jit,
+         static_argnames=("taps", "B", "P", "crossfade", "interpret",
+                          "precision", "chunk"))
+def fused_partitioned_assembled(xb: jax.Array,
+                                Ar: jax.Array, Ai: jax.Array,
+                                Br: jax.Array, Bi: jax.Array,
+                                first: jax.Array,
+                                taps: int, B: int, P: int,
+                                crossfade: bool = True,
+                                interpret: bool = False,
+                                precision=jax.lax.Precision.HIGHEST,
+                                chunk: int | None = None):
+    """Batched partitioned convolution with IN-KERNEL filter assembly.
+
+    xb: (nb, B) raw blocks; Ar/Ai, Br/Bi: (nb, GhL·128) scrambled-half
+    planes (`scramble_spectra(·, L)`) of the two ears' ramped L-spectra
+    rfft_L(h)·delay_ramp·gain, L = next_pow2(taps + DELAY_PAD); first:
+    (nb,). → (2, nb·B) — identical output to `fused_partitioned_step`
+    fed the XLA-assembled partitions (same linear map; derivation
+    validated to 1e-14, see scripts/derive_partitioned_inkernel_assembly
+    .py). The XLA side keeps only the forward rfft_L + ramp; the
+    irfft_L, truncation, P segment rffts, and the scramble all run in
+    VMEM here.
+    """
+    from ..ops.filters import DELAY_PAD, next_pow2
+
+    nb = xb.shape[0]
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    n1L = L // 128
+    GhL = n1L // 2 + 1
+    n1p = (2 * B) // 128
+    Ghp = n1p // 2 + 1
+    Fs2 = Ghp * 128
+    if P * B > L:
+        raise ValueError(f"P·B = {P * B} exceeds L = {L}")
+    first = first.at[0].set(1.0)
+    fwr, fwi, fmr, fmi, ftr, fti = _forward_fft_consts(2 * B)
+    iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(2 * B)
+    lwr, lwi, lfr, lfi, ltr, lti = _epilogue_consts(L)
+
+    ch = chunk if chunk is not None else _PART_CHUNK
+    nbp = _round_up(max(nb, 1), ch)
+    pb = nbp - nb
+    pad = lambda z: jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
+    fm = jnp.pad(first.astype(jnp.float32), [(0, pb)],
+                 constant_values=1.0)[..., None]
+
+    rowb = lambda n: pl.BlockSpec((ch, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    cj = [jnp.asarray(a) for a in (fwr, fwi, ftr, fti, fmr, fmi,
+                                   iwr, iwi, ifr, ifi, itr, iti,
+                                   lwr, lwi, lfr, lfi, ltr, lti)]
+    FsL = GhL * 128
+    y0, y1 = pl.pallas_call(
+        partial(_partitioned_asm_kernel, crossfade, n1p, Ghp, B, P,
+                precision, ch, n1L, GhL, T_pad),
+        grid=(nbp // ch,),
+        in_specs=[rowb(B)] + [rowb(FsL)] * 4 + [rowb(1)]
+        + [const(a) for a in cj],
+        out_specs=(rowb(B), rowb(B)),
+        out_shape=(jax.ShapeDtypeStruct((nbp, B), jnp.float32),
+                   jax.ShapeDtypeStruct((nbp, B), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.float32),
+                        pltpu.VMEM((max(8, P - 1), 2 * Fs2), jnp.float32),
+                        pltpu.VMEM((8, P * 2 * Fs2), jnp.float32),
+                        pltpu.VMEM((8, P * 2 * Fs2), jnp.float32)],
+        interpret=interpret,
+    )(pad(xb), pad(Ar), pad(Ai), pad(Br), pad(Bi), fm, *cj)
+    return jnp.stack([y0[:nb].reshape(-1), y1[:nb].reshape(-1)], axis=0)
+
+
 # ======================== fused streaming-step kernel ========================
 #
 # One Pallas launch per Stream.push / BatchedStream.push (ROADMAP #4): the

@@ -99,6 +99,20 @@ def fits_partitioned(B: int, P: int) -> bool:
     return partitioned_step_vmem_bytes(B, P) < KERNEL_BUDGET
 
 
+def fits_partitioned_asm(taps: int, B: int, P: int) -> bool:
+    """Assembling partitioned kernel (in-kernel BRIR filter assembly):
+    the VMEM bound plus the structural constraints of the in-kernel
+    four-step chain (128-lane tiling of both FFT sizes; the partition
+    span must sit inside the L-point inverse)."""
+    from .filters import DELAY_PAD, next_pow2
+    from .pallas_kernels import partitioned_asm_vmem_bytes
+
+    L = next_pow2(taps + DELAY_PAD)
+    if B % 128 != 0 or L % 256 != 0 or P * B > L:
+        return False
+    return partitioned_asm_vmem_bytes(taps, B, P) < KERNEL_BUDGET
+
+
 def fits_stream(taps: int, block: int, n_streams: int) -> bool:
     """Fused streaming-step kernel."""
     from .pallas_kernels import stream_step_vmem_bytes
