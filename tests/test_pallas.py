@@ -390,13 +390,19 @@ def test_fused_partitioned_matches_golden_stream(rng, taps):
 
 @pytest.mark.parametrize("taps,B", [(2048, 512), (512, 256)])
 def test_inkernel_partitioned_assembly_parity(rng, taps, B):
-    """part_assembly="kernel" (the in-kernel inverse-L / truncation /
-    per-partition forward chain, derivation validated at 1e-14 in
+    """The in-kernel assembly kernel (rfft_L + ramp + inverse-L +
+    truncation + per-partition forwards from raw (h, d, g) rows;
+    derivation validated at 1e-14 in
     scripts/derive_partitioned_inkernel_assembly.py) == the XLA-assembled
-    fused route, and both match GoldenStream."""
+    fused route, and matches GoldenStream. Calls the kernel DIRECTLY so
+    the comparison cannot silently collapse onto one route (the r4
+    gate-fallback lesson); also asserts the production gate admits the
+    BRIR shape."""
     from tinaural.data import load_hrir_set
     from tinaural.models.renderer import _partitioned_fn
     from tinaural.ops import vmem
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_partitioned_assembled
 
     tb = jax.device_put(load_hrir_set("synthetic", taps=taps))
     P = -(-(taps + 64) // B)
@@ -408,10 +414,12 @@ def test_inkernel_partitioned_assembly_parity(rng, taps, B):
         axis=1).astype(np.float32))
     cfg_x = RenderConfig(stream_block=B, pallas_interpret=True,
                          part_assembly="xla")
-    cfg_k = RenderConfig(stream_block=B, pallas_interpret=True,
-                         part_assembly="kernel")
     yx = np.asarray(_partitioned_fn(tb, xb, dirs, cfg_x))
-    yk = np.asarray(_partitioned_fn(tb, xb, dirs, cfg_k))
+    h, d, g = jax.vmap(lambda a, e: interpolate(tb, a, e, cfg_x))(
+        dirs[:, 0], dirs[:, 1])
+    first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
+    yk = np.asarray(fused_partitioned_assembled(
+        xb, h, d, g, first, taps, B, P, interpret=True))
     assert snr_db(yx, yk) > 90
     gs = golden.GoldenStream(tb, RenderConfig(stream_block=B))
     x = np.asarray(xb).reshape(-1)

@@ -666,21 +666,11 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
         first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
         if (not use_mm and config.part_assembly == "kernel"
                 and vmem.fits_partitioned_asm(taps, B, P)):
-            from ..ops.fftpack import rfft_pair
-            from ..ops.filters import (ALIGN_GUARD, delay_ramp,
-                                       next_pow2)
-
-            L = next_pow2(taps + DELAY_PAD)
-            dd = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD,
-                          DELAY_PAD - 16.0)  # effective_filter's clip
-            A, Bs = rfft_pair(h[:, 0], h[:, 1], L, impl=config.fft_impl)
-            ramp = delay_ramp(L, dd)  # (nb, 2, FL)
-            A = A * ramp[:, 0] * g[:, 0, None]
-            Bs = Bs * ramp[:, 1] * g[:, 1, None]
-            Ar, Ai = scramble_spectra(A, L)
-            Brr, Bri = scramble_spectra(Bs, L)
+            # XLA supplies only the gathered (h, d, g) rows; the whole
+            # assembly chain (rfft_L, ramp·gain, inverse-L, truncation,
+            # P partition transforms) runs inside the kernel.
             return fused_partitioned_assembled(
-                xb, Ar, Ai, Brr, Bri, first, taps, B, P,
+                xb, h, d, g, first, taps, B, P,
                 crossfade=config.crossfade,
                 interpret=config.pallas_interpret,
                 precision=_kernel_precision(config))

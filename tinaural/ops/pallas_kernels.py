@@ -1566,21 +1566,99 @@ def _asm_filters(dot, chunk: int, P: int, B: int, n1p: int, Ghp: int,
             jnp.concatenate(Hi_parts, axis=1))
 
 
+@lru_cache(maxsize=8)
+def _ramp_trig_scrambled(L: int) -> np.ndarray:
+    """`_ramp_trig_table` folded onto the scrambled-half lanes of L:
+    rows [θ, sin θ, cos θ, taper w] evaluated at the lane's folded bin
+    (`_scramble_maps` idx), plus row 4 = the mirror conj sign (flips the
+    ramp's sine on lanes that store conjugated bins)."""
+    n1 = L // 128
+    FsL = (n1 // 2 + 1) * 128
+    FLp = _round_up(L // 2 + 1, 128)
+    nat = _ramp_trig_table(L, FLp)
+    idx, sgn = _scramble_maps(L)
+    out = np.zeros((8, FsL), np.float32)
+    out[0:4] = nat[0:4][:, idx]
+    out[4] = sgn
+    return out
+
+
+def _rows_to_planes(dot, chunk: int, n1L: int, GhL: int, taps_p: int,
+                    h0, h1, dgv,
+                    flwr, flwi, flmr, flmi, fltr, flti, trig_s):
+    """In-kernel rfft_L(h)·delay_ramp·gain → the scrambled-half ramped
+    planes `_asm_filters` consumes. h0, h1: (chunk, taps_p) ear rows
+    (ear-packed into ONE forward four-step at L, unpacked via the
+    mirror tile); dgv: (chunk, 128) cols [d0, d1, g0, g1]; trig_s: the
+    `_ramp_trig_scrambled(L)` constant."""
+    ng_in = taps_p // 128
+    gl = [(h0[:, i * 128:(i + 1) * 128], h1[:, i * 128:(i + 1) * 128])
+          if i < ng_in else None for i in range(n1L)]
+    S1 = _tile_fft(gl, n1L, -1.0)
+    T_r, T_i = [], []
+    for kk in range(n1L):
+        sr, si = S1[kk]
+        tr, ti = fltr[kk:kk + 1, :], flti[kk:kk + 1, :]
+        T_r.append(sr * tr - si * ti)
+        T_i.append(sr * ti + si * tr)
+    Ar_ = jnp.concatenate(T_r[:GhL], axis=0)
+    Ai_ = jnp.concatenate(T_i[:GhL], axis=0)
+    W, Wi_ = flwr[...], flwi[...]
+    Zf_r = dot(Ar_, W) - dot(Ai_, Wi_)
+    Zf_i = dot(Ar_, Wi_) + dot(Ai_, W)
+    U0_r = dot(T_r[0], W) + dot(T_i[0], Wi_)
+    U0_i = -dot(T_r[0], Wi_) + dot(T_i[0], W)
+    Br_ = jnp.concatenate([T_r[n1L - kk] for kk in range(1, GhL)], axis=0)
+    Bi_ = jnp.concatenate([T_i[n1L - kk] for kk in range(1, GhL)], axis=0)
+    Wm, Wmi = flmr[...], flmi[...]
+    Um_r = dot(Br_, Wm) - dot(Bi_, Wmi)
+    Um_i = dot(Br_, Wmi) + dot(Bi_, Wm)
+    C_r = jnp.concatenate([U0_r, Um_r], axis=0)
+    C_i = -jnp.concatenate([U0_i, Um_i], axis=0)
+    lanesL = lambda Z: jnp.concatenate(
+        [Z[kk * chunk:(kk + 1) * chunk] for kk in range(GhL)], axis=1)
+    Zfr_l, Zfi_l = lanesL(Zf_r), lanesL(Zf_i)
+    Cr_l, Ci_l = lanesL(C_r), lanesL(C_i)
+    A_r, A_i = 0.5 * (Zfr_l + Cr_l), 0.5 * (Zfi_l + Ci_l)   # ear-0 rfft_L
+    B_r, B_i = 0.5 * (Zfi_l - Ci_l), -0.5 * (Zfr_l - Cr_l)  # ear-1
+    # per-ear delay ramp (folded bins; sign row conjugates mirror lanes)
+    # + gain. d/g ride the dg vector — lanes extracted by masked
+    # reductions (direct lane slices at offsets 1..3 hit the Mosaic
+    # "offset mismatch on non-concat dimension" lowering bug).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    colv = lambda k: jnp.sum(jnp.where(lane == k, dgv, 0.0), axis=1,
+                             keepdims=True)
+    sgn = trig_s[4:5, :]
+    c0, s0 = _ramp_cos_sin(colv(0), trig_s)
+    c1, s1 = _ramp_cos_sin(colv(1), trig_s)
+    s0, s1 = s0 * sgn, s1 * sgn
+    g0, g1 = colv(2), colv(3)
+    ar = (A_r * c0 - A_i * s0) * g0
+    ai = (A_r * s0 + A_i * c0) * g0
+    br = (B_r * c1 - B_i * s1) * g1
+    bi = (B_r * s1 + B_i * c1) * g1
+    return ar, ai, br, bi
+
+
 def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
                             P: int, precision, chunk: int,
-                            n1L: int, GhL: int, T_pad: int,
-                            xb_ref, ar_ref, ai_ref, br_ref, bi_ref,
-                            first_ref,
+                            n1L: int, GhL: int, T_pad: int, taps_p: int,
+                            xb_ref, h0_ref, h1_ref, dg_ref, first_ref,
                             fwr, fwi, ftr, fti, fmr, fmi,
                             iwr, iwi, ifr, ifi, itr, iti,
                             lwr, lwi, lfr, lfi, ltr, lti,
+                            flwr, flwi, flmr, flmi, fltr, flti, trig_s,
                             y0_o, y1_o, xcar, dcar, hrcar, hicar):
-    """One grid step = `chunk` blocks: in-kernel filter assembly from the
-    ramped L-spectrum planes, then the shared partitioned conv body."""
+    """One grid step = `chunk` blocks: in-kernel filter assembly straight
+    from the (h, d, g) rows, then the shared partitioned conv body."""
     dot = _kdot(precision)
+    ar, ai, br, bi = _rows_to_planes(
+        dot, chunk, n1L, GhL, taps_p,
+        h0_ref[...], h1_ref[...], dg_ref[...],
+        flwr, flwi, flmr, flmi, fltr, flti, trig_s)
     Hr, Hi = _asm_filters(
         dot, chunk, P, B, n1p, Ghp, n1L, GhL, T_pad,
-        ar_ref[...], ai_ref[...], br_ref[...], bi_ref[...],
+        ar, ai, br, bi,
         fwr, fwi, ftr, fti, fmr, fmi, lwr, lwi, lfr, lfi, ltr, lti)
     _partitioned_conv_core(
         crossfade, n1p, Ghp, B, P, dot, chunk,
@@ -1601,11 +1679,15 @@ def partitioned_asm_vmem_bytes(taps: int, B: int, P: int,
     GhL = n1L // 2 + 1
     n1p = (2 * B) // 128
     Fs2 = (n1p // 2 + 1) * 128
+    taps_p = _round_up(taps, 128)
+    FsL = GhL * 128
     ch = chunk if chunk is not None else _PART_CHUNK
-    consts = (6 * 128 * 128 + 4 * max(n1L, 8) * 128
-              + 4 * max(n1p, 8) * 128) * 4
-    asm_work = ch * (4 * GhL * 128          # input planes
-                     + 4 * n1L * 128 * 2    # F1 + F2/zg tiles
+    consts = (8 * 128 * 128 + 4 * max(n1L, 8) * 128
+              + 4 * max(n1p, 8) * 128 + 8 * FsL) * 4
+    asm_work = ch * (2 * taps_p + 128       # h rows + dg vector
+                     + 8 * GhL * 128        # fwd-L tiles + unpacked ears
+                     + 4 * GhL * 128        # ramped planes
+                     + 4 * n1L * 128 * 2    # inverse F1 + F2/zg tiles
                      + 6 * Fs2 * 2          # per-seg fwd transients ×2
                      + 2 * P * 2 * Fs2) * 4  # assembled H rows
     conv_work = ch * (2 * B * 3 + 4 * n1p * 128 + 6 * Fs2
@@ -1618,9 +1700,8 @@ def partitioned_asm_vmem_bytes(taps: int, B: int, P: int,
 @partial(jax.jit,
          static_argnames=("taps", "B", "P", "crossfade", "interpret",
                           "precision", "chunk"))
-def fused_partitioned_assembled(xb: jax.Array,
-                                Ar: jax.Array, Ai: jax.Array,
-                                Br: jax.Array, Bi: jax.Array,
+def fused_partitioned_assembled(xb: jax.Array, h: jax.Array,
+                                d: jax.Array, g: jax.Array,
                                 first: jax.Array,
                                 taps: int, B: int, P: int,
                                 crossfade: bool = True,
@@ -1629,15 +1710,15 @@ def fused_partitioned_assembled(xb: jax.Array,
                                 chunk: int | None = None):
     """Batched partitioned convolution with IN-KERNEL filter assembly.
 
-    xb: (nb, B) raw blocks; Ar/Ai, Br/Bi: (nb, GhL·128) scrambled-half
-    planes (`scramble_spectra(·, L)`) of the two ears' ramped L-spectra
-    rfft_L(h)·delay_ramp·gain, L = next_pow2(taps + DELAY_PAD); first:
-    (nb,). → (2, nb·B) — identical output to `fused_partitioned_step`
-    fed the XLA-assembled partitions (same linear map; derivation
-    validated to 1e-14, see scripts/derive_partitioned_inkernel_assembly
-    .py). The XLA side keeps only the forward rfft_L + ramp; the
-    irfft_L, truncation, P segment rffts, and the scramble all run in
-    VMEM here.
+    xb: (nb, B) raw blocks; h: (nb, 2, taps) interpolated HRIR/BRIR
+    shapes; d, g: (nb, 2) per-ear delays/gains; first: (nb,). →
+    (2, nb·B) — identical output to `fused_partitioned_step` fed the
+    XLA-assembled partitions (same linear map; derivation validated to
+    1e-14, scripts/derive_partitioned_inkernel_assembly.py). The whole
+    assembly chain — rfft_L(h) (ear-packed four-step), the delay ramp
+    (`_ramp_cos_sin` at folded bins) and gain, the inverse-L back to
+    the effective filter, its truncation, and the P per-partition 2B
+    transforms — runs in VMEM; XLA supplies only the gathered rows.
     """
     from ..ops.filters import DELAY_PAD, next_pow2
 
@@ -1649,12 +1730,15 @@ def fused_partitioned_assembled(xb: jax.Array,
     n1p = (2 * B) // 128
     Ghp = n1p // 2 + 1
     Fs2 = Ghp * 128
+    taps_p = _round_up(taps, 128)
     if P * B > L:
         raise ValueError(f"P·B = {P * B} exceeds L = {L}")
     first = first.at[0].set(1.0)
     fwr, fwi, fmr, fmi, ftr, fti = _forward_fft_consts(2 * B)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(2 * B)
     lwr, lwi, lfr, lfi, ltr, lti = _epilogue_consts(L)
+    flwr, flwi, flmr, flmi, fltr, flti = _forward_fft_consts(L)
+    trig_s = _ramp_trig_scrambled(L)
 
     ch = chunk if chunk is not None else _PART_CHUNK
     nbp = _round_up(max(nb, 1), ch)
@@ -1662,6 +1746,10 @@ def fused_partitioned_assembled(xb: jax.Array,
     pad = lambda z: jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
     fm = jnp.pad(first.astype(jnp.float32), [(0, pb)],
                  constant_values=1.0)[..., None]
+    hp = jnp.pad(h, [(0, pb), (0, 0), (0, taps_p - taps)])
+    dgv = jnp.zeros((nbp, 128), jnp.float32)
+    dgv = dgv.at[:nb, 0:2].set(d)
+    dgv = dgv.at[:nb, 2:4].set(g)
 
     rowb = lambda n: pl.BlockSpec((ch, n), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -1669,13 +1757,14 @@ def fused_partitioned_assembled(xb: jax.Array,
                                    memory_space=pltpu.VMEM)
     cj = [jnp.asarray(a) for a in (fwr, fwi, ftr, fti, fmr, fmi,
                                    iwr, iwi, ifr, ifi, itr, iti,
-                                   lwr, lwi, lfr, lfi, ltr, lti)]
-    FsL = GhL * 128
+                                   lwr, lwi, lfr, lfi, ltr, lti,
+                                   flwr, flwi, flmr, flmi, fltr, flti,
+                                   trig_s)]
     y0, y1 = pl.pallas_call(
         partial(_partitioned_asm_kernel, crossfade, n1p, Ghp, B, P,
-                precision, ch, n1L, GhL, T_pad),
+                precision, ch, n1L, GhL, T_pad, taps_p),
         grid=(nbp // ch,),
-        in_specs=[rowb(B)] + [rowb(FsL)] * 4 + [rowb(1)]
+        in_specs=[rowb(B), rowb(taps_p), rowb(taps_p), rowb(128), rowb(1)]
         + [const(a) for a in cj],
         out_specs=(rowb(B), rowb(B)),
         out_shape=(jax.ShapeDtypeStruct((nbp, B), jnp.float32),
@@ -1685,7 +1774,7 @@ def fused_partitioned_assembled(xb: jax.Array,
                         pltpu.VMEM((8, P * 2 * Fs2), jnp.float32),
                         pltpu.VMEM((8, P * 2 * Fs2), jnp.float32)],
         interpret=interpret,
-    )(pad(xb), pad(Ar), pad(Ai), pad(Br), pad(Bi), fm, *cj)
+    )(pad(xb), hp[:, 0], hp[:, 1], dgv, fm, *cj)
     return jnp.stack([y0[:nb].reshape(-1), y1[:nb].reshape(-1)], axis=0)
 
 

@@ -99,6 +99,18 @@ def fits_partitioned(B: int, P: int) -> bool:
     return partitioned_step_vmem_bytes(B, P) < KERNEL_BUDGET
 
 
+ASM_BUDGET = 24 << 20
+"""Assembling partitioned kernel's bound. Separate from KERNEL_BUDGET
+on the same empirical basis as RENDER_BUDGET: the planes-stage variant
+of this kernel (estimate ~14 MiB) compiled and ran at the BRIR shape
+(profile_r4_asm_kernel: 1.50 ms/call, 106.8 dB), the estimators
+double-count Mosaic's liveness reuse by ~2×, and the rows-stage variant
+adds only ~2 MiB of estimate (h rows + the forward-L tiles) — while a
+16 MiB bound would exclude the exact headline BRIR shape by 0.5%, the
+round-4 silent-gate failure mode. The Mosaic-failure fallback remains
+the safety net."""
+
+
 def fits_partitioned_asm(taps: int, B: int, P: int) -> bool:
     """Assembling partitioned kernel (in-kernel BRIR filter assembly):
     the VMEM bound plus the structural constraints of the in-kernel
@@ -110,7 +122,7 @@ def fits_partitioned_asm(taps: int, B: int, P: int) -> bool:
     L = next_pow2(taps + DELAY_PAD)
     if B % 128 != 0 or L % 256 != 0 or P * B > L:
         return False
-    return partitioned_asm_vmem_bytes(taps, B, P) < KERNEL_BUDGET
+    return partitioned_asm_vmem_bytes(taps, B, P) < ASM_BUDGET
 
 
 def fits_stream(taps: int, block: int, n_streams: int) -> bool:
