@@ -101,14 +101,15 @@ class RenderConfig:
         fused kernels' 32-row chunk: one of 1, 2, 4, 8.
       part_assembly: where the partitioned (BRIR) renderer assembles its
         per-block filter partitions when the fft chain is in effect —
-        ``"kernel"`` (default; in-kernel: the ramped L-spectrum planes
-        ride into the partitioned kernel, which runs the inverse-L /
-        truncation / per-partition forward four-steps in VMEM — same
-        linear map, derivation validated to 1e-14 in
-        scripts/derive_partitioned_inkernel_assembly.py, measured 1.78×
-        the packed-XLA chain on chip at 106.8 dB parity, see
-        BENCH_NOTES round 4) or ``"xla"`` (the packed-FFT chain; also
-        the automatic fallback whenever the kernel is ineligible).
+        ``"kernel"`` (default; the kernel receives the raw gathered
+        (h, d, g) rows and runs the WHOLE chain in VMEM: rfft_L, ITD
+        ramp, gain, inverse-L, truncation, per-partition forward
+        four-steps — same linear map, derivation validated to 1e-14 in
+        scripts/derive_partitioned_inkernel_assembly.py; measured
+        11,970× RT official vs 3,035–3,220 on the XLA chain, 106.8 dB
+        on-chip parity, BENCH_NOTES round 4) or ``"xla"`` (the
+        packed-FFT chain; also the automatic fallback whenever the
+        kernel is ineligible).
     """
 
     sample_rate: int = 44100
