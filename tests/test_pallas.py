@@ -146,21 +146,27 @@ def test_stream_with_fused_step_matches_golden(table, rng):
 
 
 def test_kernel_vmem_gate_falls_back_for_long_filters(rng):
-    """512-tap tables overflow the kernels' VMEM budgets at these block
-    sizes; the routing must silently take the jnp paths and stay correct
-    (use_pallas=True end to end)."""
+    """512-tap tables overflow the block kernel's VMEM budget at this
+    block size; that routing must silently take the jnp path and stay
+    correct (use_pallas=True end to end). The STREAM at 512 taps, whose
+    zoom matrices also overflow, now routes through the fused step's
+    in-kernel-assembly mode instead of falling back — assert that and
+    the same golden parity."""
     from tinaural.data import load_hrir_set
     from tinaural.models import Stream
     from tinaural.models.renderer import _use_fused_kernel, next_pow2
     from tinaural.models.streaming import _use_fused_step
     from tinaural.ops.filters import DELAY_PAD
+    from tinaural.ops.pallas_kernels import stream_step_vmem_bytes
+    from tinaural.ops.vmem import KERNEL_BUDGET
 
     long_table = load_hrir_set("synthetic", taps=512)
     cfg = RenderConfig(block_size=1024, stream_block=256, use_pallas=True,
                        pallas_interpret=True)
     n_fft = next_pow2(1024 + 512 + DELAY_PAD - 1)
     assert not _use_fused_kernel(cfg, 512, n_fft)
-    assert not _use_fused_step(long_table, cfg, 1)
+    assert stream_step_vmem_bytes(512, 256, 1) >= KERNEL_BUDGET
+    assert _use_fused_step(long_table, cfg, 1)  # asm mode takes over
 
     x = rng.standard_normal(4 * 1024)
     dirs = np.stack([np.linspace(0, 90, 4), np.zeros(4)], axis=1)
@@ -427,6 +433,39 @@ def test_inkernel_partitioned_assembly_parity(rng, taps, B):
                                   float(dirs[b, 0]), float(dirs[b, 1]))
                           for b in range(nb)], -1)
     assert snr_db(ref, yk[:, :ref.shape[-1]]) > 60
+
+
+def test_stream_asm_mode_brir_matches_golden(rng):
+    """BRIR streaming: 2048-tap per-listener filters route through the
+    fused streaming step's IN-KERNEL assembly mode (the zoom matrices it
+    replaces are ~100 MB and could never ride VMEM — previously these
+    shapes fell back to the XLA step). Push-for-push golden parity plus
+    an explicit eligibility assertion so a gate regression can't silently
+    re-route to the fallback."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BatchedStream
+    from tinaural.models.streaming import _use_fused_step
+    from tinaural.ops.pallas_kernels import stream_step_vmem_bytes
+    from tinaural.ops.vmem import KERNEL_BUDGET
+
+    table = load_hrir_set("synthetic", taps=2048)
+    B, S = 256, 3
+    cfg = RenderConfig(stream_block=B, pallas_interpret=True)
+    # the zoom mode must NOT fit (else this test exercises nothing new)
+    assert stream_step_vmem_bytes(2048, B, S) >= KERNEL_BUDGET
+    assert _use_fused_step(jax.device_put(table), cfg, S)
+    bs = BatchedStream(table, S, cfg)
+    golds = [golden.GoldenStream(table, RenderConfig(stream_block=B))
+             for _ in range(S)]
+    azs = np.array([30.0, 120.0, 250.0], np.float32)
+    els = np.array([-10.0, 0.0, 40.0], np.float32)
+    for step in range(3):
+        blocks = rng.standard_normal((S, B)).astype(np.float32)
+        y = np.asarray(bs.push(blocks, azs + 3 * step, els))
+        for s in range(S):
+            ref = golds[s].push(blocks[s].astype(np.float64),
+                                azs[s] + 3 * step, els[s])
+            assert snr_db(ref, y[s]) > 60, (step, s)
 
 
 def test_fused_block_render_single_launch(table, rng):

@@ -1584,13 +1584,13 @@ def _ramp_trig_scrambled(L: int) -> np.ndarray:
 
 
 def _rows_to_planes(dot, chunk: int, n1L: int, GhL: int, taps_p: int,
-                    h0, h1, dgv,
+                    h0, h1, d0, d1, g0, g1,
                     flwr, flwi, flmr, flmi, fltr, flti, trig_s):
     """In-kernel rfft_L(h)·delay_ramp·gain → the scrambled-half ramped
     planes `_asm_filters` consumes. h0, h1: (chunk, taps_p) ear rows
     (ear-packed into ONE forward four-step at L, unpacked via the
-    mirror tile); dgv: (chunk, 128) cols [d0, d1, g0, g1]; trig_s: the
-    `_ramp_trig_scrambled(L)` constant."""
+    mirror tile); d0/d1, g0/g1: (chunk, 1) per-ear delay/gain columns;
+    trig_s: the `_ramp_trig_scrambled(L)` constant."""
     ng_in = taps_p // 128
     gl = [(h0[:, i * 128:(i + 1) * 128], h1[:, i * 128:(i + 1) * 128])
           if i < ng_in else None for i in range(n1L)]
@@ -1622,17 +1622,11 @@ def _rows_to_planes(dot, chunk: int, n1L: int, GhL: int, taps_p: int,
     A_r, A_i = 0.5 * (Zfr_l + Cr_l), 0.5 * (Zfi_l + Ci_l)   # ear-0 rfft_L
     B_r, B_i = 0.5 * (Zfi_l - Ci_l), -0.5 * (Zfr_l - Cr_l)  # ear-1
     # per-ear delay ramp (folded bins; sign row conjugates mirror lanes)
-    # + gain. d/g ride the dg vector — lanes extracted by masked
-    # reductions (direct lane slices at offsets 1..3 hit the Mosaic
-    # "offset mismatch on non-concat dimension" lowering bug).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    colv = lambda k: jnp.sum(jnp.where(lane == k, dgv, 0.0), axis=1,
-                             keepdims=True)
+    # + gain
     sgn = trig_s[4:5, :]
-    c0, s0 = _ramp_cos_sin(colv(0), trig_s)
-    c1, s1 = _ramp_cos_sin(colv(1), trig_s)
+    c0, s0 = _ramp_cos_sin(d0, trig_s)
+    c1, s1 = _ramp_cos_sin(d1, trig_s)
     s0, s1 = s0 * sgn, s1 * sgn
-    g0, g1 = colv(2), colv(3)
     ar = (A_r * c0 - A_i * s0) * g0
     ai = (A_r * s0 + A_i * c0) * g0
     br = (B_r * c1 - B_i * s1) * g1
@@ -1652,9 +1646,16 @@ def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
     """One grid step = `chunk` blocks: in-kernel filter assembly straight
     from the (h, d, g) rows, then the shared partitioned conv body."""
     dot = _kdot(precision)
+    # d/g ride the dg vector — lanes extracted by masked reductions
+    # (direct lane slices at offsets 1..3 hit the Mosaic "offset
+    # mismatch on non-concat dimension" lowering bug)
+    dgv = dg_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    colv = lambda k: jnp.sum(jnp.where(lane == k, dgv, 0.0), axis=1,
+                             keepdims=True)
     ar, ai, br, bi = _rows_to_planes(
         dot, chunk, n1L, GhL, taps_p,
-        h0_ref[...], h1_ref[...], dg_ref[...],
+        h0_ref[...], h1_ref[...], colv(0), colv(1), colv(2), colv(3),
         flwr, flwi, flmr, flmi, fltr, flti, trig_s)
     Hr, Hi = _asm_filters(
         dot, chunk, P, B, n1p, Ghp, n1L, GhL, T_pad,
@@ -1834,34 +1835,76 @@ def _stream_step_mats(taps: int, block: int):
         M2p[FLp:FLp + FL, base + F2p:base + F2p + F2] = m2[FL:, p, F2:]
 
     trig = _ramp_trig_table(L, FLp)
-
-    # rfft of the 2B overlap-save frame as a real matmul → [Re|Im] planes
-    G = np.fft.rfft(np.eye(2 * block), axis=-1)  # (2B, F2)
-    DFTr = np.zeros((2 * block, 2 * F2p), np.float32)
-    DFTr[:, :F2] = G.real
-    DFTr[:, F2p:F2p + F2] = G.imag
-
-    # last-B samples of irfft_2B from [Re|Im] planes (overlap-save tail)
-    basis = np.zeros((2 * F2p, F2), np.complex128)
-    basis[:F2] = np.eye(F2)
-    basis[F2p:F2p + F2] = 1j * np.eye(F2)
-    DI = np.fft.irfft(basis, n=2 * block, axis=-1)[:, block:].astype(np.float32)
-
+    DFTr, DI = _stream_frame_mats(block)
     dims = (L, FL, FLp, F2, F2p, P, taps_p)
     return M1p, M2p, trig, DFTr, DI, dims
 
 
-def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
-                        F2p: int, P: int, precision,
-                        prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
-                        h_ref, d_ref, g_ref,
-                        m1_ref, m2_ref, trig_ref, dft_ref, di_ref,
-                        y_out, nf_re, nf_im, nh_out):
-    """One grid step = Sp streams (2·Sp filter rows laid out
-    [ear0 streams; ear1 streams]); streams are independent, so the grid
-    carries no cross-step state and batch size is unbounded."""
-    dotp = _kdot(precision)
+@lru_cache(maxsize=8)
+def _stream_frame_mats(block: int):
+    """The streaming step's frame transforms (block-only constants,
+    shared by the zoom and in-kernel-assembly variants): DFTr = rfft of
+    the 2B overlap-save frame as a real matmul → [Re|Im] planes; DI =
+    the last-B samples of irfft_2B from [Re|Im] planes."""
+    F2 = block + 1
+    F2p = _round_up(F2, 128)
+    G = np.fft.rfft(np.eye(2 * block), axis=-1)  # (2B, F2)
+    DFTr = np.zeros((2 * block, 2 * F2p), np.float32)
+    DFTr[:, :F2] = G.real
+    DFTr[:, F2p:F2p + F2] = G.imag
+    basis = np.zeros((2 * F2p, F2), np.complex128)
+    basis[:F2] = np.eye(F2)
+    basis[F2p:F2p + F2] = 1j * np.eye(F2)
+    DI = np.fft.irfft(basis, n=2 * block,
+                      axis=-1)[:, block:].astype(np.float32)
+    return DFTr, DI
 
+
+def _stream_dims(taps: int, block: int):
+    """`_stream_step_mats`' dims tuple WITHOUT materialising the zoom
+    matrices (which cost minutes + ~100 MB at BRIR sizes)."""
+    from .filters import DELAY_PAD, next_pow2
+
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    FL = L // 2 + 1
+    F2 = block + 1
+    return (L, FL, _round_up(FL, 128), F2, _round_up(F2, 128),
+            -(-T_pad // block), _round_up(taps, 128))
+
+
+@lru_cache(maxsize=8)
+def _scram_to_nat(n_fft: int):
+    """One-hot (Fs, F2p) matmul constants (Pm_re, Pm_im) mapping a
+    scrambled-half plane back to natural bin order. Bins whose group
+    index k mod n1 < Gh have a direct lane (stores H[k] as-is); the
+    rest exist only on a mirror lane, which stores conj(H[k]) — same
+    real part, negated imag — hence the signed imag matrix."""
+    n1 = n_fft // 128
+    Gh = n1 // 2 + 1
+    F2 = n_fft // 2 + 1
+    F2p = _round_up(F2, 128)
+    Pr = np.zeros((Gh * 128, F2p), np.float32)
+    Pi = np.zeros((Gh * 128, F2p), np.float32)
+    for k in range(F2):
+        k1 = k % n1
+        if k1 < Gh:
+            sb, s = k1 * 128 + k // n1, 1.0
+        else:
+            kk = n_fft - k
+            sb, s = (kk % n1) * 128 + kk // n1, -1.0
+        Pr[sb, k] = 1.0
+        Pi[sb, k] = s
+    return Pr, Pi
+
+
+def _stream_conv_core(crossfade: bool, Sp: int, B: int, F2p: int, P: int,
+                      dotp, prev_in, xb_ref, fdl_re, fdl_im, ph_ref,
+                      started_ref, H, dft_ref, di_ref,
+                      y_out, nf_re, nf_im, nh_out):
+    """Shared post-assembly body of the streaming kernels: overlap-save
+    frame → rfft matmul → FDL shift → P-partition MAC under the given
+    (2Sp, P·2F2p) filter rows → crossfade pair → irfft-tail matmul."""
     frame = jnp.concatenate([prev_in[...], xb_ref[...]], axis=1)  # (Sp, 2B)
     X = dotp(frame, dft_ref[...])  # (Sp, 2F2p)
     xre, xim = X[:, :F2p], X[:, F2p:]
@@ -1873,14 +1916,6 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
         fr, fi = xre, xim
     nf_re[...] = fr
     nf_im[...] = fi
-
-    G = dotp(h_ref[...], m1_ref[...])  # (2Sp, 2FLp)
-    c, s = _ramp_cos_sin(d_ref[...], trig_ref)
-    g = g_ref[...]
-    Gr, Gi = G[:, :FLp], G[:, FLp:]
-    G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
-                         axis=1)
-    H = dotp(G2, m2_ref[...])  # (2Sp, P·2F2p)
     nh_out[...] = H
 
     fr2 = jnp.concatenate([fr, fr], axis=0)  # FDL copied per ear row group
@@ -1916,6 +1951,83 @@ def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
         y_out[...] = dotp(Yall, di_ref[...])
 
 
+def _stream_step_kernel(crossfade: bool, Sp: int, B: int, FLp: int,
+                        F2p: int, P: int, precision,
+                        prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
+                        h_ref, d_ref, g_ref,
+                        m1_ref, m2_ref, trig_ref, dft_ref, di_ref,
+                        y_out, nf_re, nf_im, nh_out):
+    """One grid step = Sp streams (2·Sp filter rows laid out
+    [ear0 streams; ear1 streams]); streams are independent, so the grid
+    carries no cross-step state and batch size is unbounded. Filter
+    assembly via the zoom matmuls (short/medium taps — the matrices
+    ride VMEM)."""
+    dotp = _kdot(precision)
+
+    G = dotp(h_ref[...], m1_ref[...])  # (2Sp, 2FLp)
+    c, s = _ramp_cos_sin(d_ref[...], trig_ref)
+    g = g_ref[...]
+    Gr, Gi = G[:, :FLp], G[:, FLp:]
+    G2 = jnp.concatenate([(Gr * c - Gi * s) * g, (Gr * s + Gi * c) * g],
+                         axis=1)
+    H = dotp(G2, m2_ref[...])  # (2Sp, P·2F2p)
+    _stream_conv_core(crossfade, Sp, B, F2p, P, dotp,
+                      prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
+                      H, dft_ref, di_ref, y_out, nf_re, nf_im, nh_out)
+
+
+def _stream_step_asm_kernel(crossfade: bool, Sp: int, B: int, F2p: int,
+                            P: int, precision,
+                            n1L: int, GhL: int, T_pad: int, taps_p: int,
+                            prev_in, xb_ref, fdl_re, fdl_im, ph_ref,
+                            started_ref, h_ref, d_ref, g_ref,
+                            fwr, fwi, ftr, fti, fmr, fmi,
+                            lwr, lwi, lfr, lfi, ltr, lti,
+                            flwr, flwi, flmr, flmi, fltr, flti,
+                            trig_s, pmr_ref, pmi_ref, dft_ref, di_ref,
+                            y_out, nf_re, nf_im, nh_out):
+    """Streaming step with IN-KERNEL long-filter assembly: the BRIR
+    chain of `fused_partitioned_assembled` (rfft_L of the rows, ITD
+    ramp at folded bins, inverse-L, truncation, per-partition 2B
+    transforms) produces scrambled partition spectra, which one-hot
+    matmuls return to the natural [p][re|im] lane layout the streaming
+    FDL MAC and the public `StreamState` speak — the zoom matrices this
+    replaces are ~100 MB at 2048 taps and can never ride VMEM."""
+    dotp = _kdot(precision)
+    n1p = (2 * B) // 128
+    Ghp = n1p // 2 + 1
+    Fs2 = Ghp * 128
+
+    h = h_ref[...]  # (2Sp, taps_p), rows [ear0 streams; ear1 streams]
+    d = d_ref[...]
+    g = g_ref[...]
+    ar, ai, br, bi = _rows_to_planes(
+        dotp, Sp, n1L, GhL, taps_p,
+        h[:Sp], h[Sp:], d[:Sp], d[Sp:], g[:Sp], g[Sp:],
+        flwr, flwi, flmr, flmi, fltr, flti, trig_s)
+    Hr, Hi = _asm_filters(
+        dotp, Sp, P, B, n1p, Ghp, n1L, GhL, T_pad,
+        ar, ai, br, bi,
+        fwr, fwi, ftr, fti, fmr, fmi, lwr, lwi, lfr, lfi, ltr, lti)
+    # scrambled → natural bin order; the permutation is exact, so it
+    # runs at full f32 (one-hot × value — no precision to trade)
+    hdot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+    Pr, Pi = pmr_ref[...], pmi_ref[...]
+    ears = []
+    for e in range(2):
+        lanes_e = []
+        for p in range(P):
+            sl = slice((p * 2 + e) * Fs2, (p * 2 + e + 1) * Fs2)
+            lanes_e.append(hdot(Hr[:, sl], Pr))
+            lanes_e.append(hdot(Hi[:, sl], Pi))
+        ears.append(jnp.concatenate(lanes_e, axis=1))  # (Sp, P·2F2p)
+    H = jnp.concatenate(ears, axis=0)  # (2Sp, P·2F2p)
+    _stream_conv_core(crossfade, Sp, B, F2p, P, dotp,
+                      prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
+                      H, dft_ref, di_ref, y_out, nf_re, nf_im, nh_out)
+
+
 def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
     """Rough VMEM footprint of the fused streaming step (constants + the
     PER-GRID-STEP working set — the kernel grids over stream chunks, so
@@ -1940,6 +2052,40 @@ def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
     return consts + work
 
 
+_STREAM_ASM_CHUNK = 16  # streams per grid step of the asm-mode kernel
+
+
+def stream_asm_vmem_bytes(taps: int, block: int, n_streams: int,
+                          chunk: int | None = None) -> int:
+    """VMEM estimate of the asm-mode streaming step (in-kernel BRIR
+    assembly; the zoom matrices it replaces are ~100 MB at 2048 taps)."""
+    from .filters import DELAY_PAD, next_pow2
+
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    n1L = L // 128
+    GhL = n1L // 2 + 1
+    n1p = (2 * block) // 128
+    Ghp = n1p // 2 + 1
+    Fs2 = Ghp * 128
+    F2 = block + 1
+    F2p = _round_up(F2, 128)
+    P = -(-T_pad // block)
+    taps_p = _round_up(taps, 128)
+    Sp = (chunk if chunk is not None
+          else min(_STREAM_ASM_CHUNK, _round_up(max(n_streams, 1), 8)))
+    consts = (8 * 128 * 128 + 4 * max(n1L, 8) * 128
+              + 4 * max(n1p, 8) * 128 + 8 * GhL * 128
+              + 2 * Fs2 * F2p
+              + 2 * block * 2 * F2p + 2 * F2p * block) * 4
+    asm_work = Sp * (2 * taps_p + 8 * GhL * 128 + 4 * GhL * 128
+                     + 4 * n1L * 128 * 2 + 6 * Fs2 * 2
+                     + 2 * P * 2 * Fs2) * 4
+    conv_work = Sp * (2 * 2 * block + 2 * 2 * F2p + 4 * P * F2p
+                      + 6 * P * 2 * F2p + 12 * F2p + 4 * block) * 4
+    return consts + asm_work + conv_work
+
+
 @partial(jax.jit,
          static_argnames=("taps", "block", "crossfade", "interpret",
                           "precision", "chunk"))
@@ -1960,12 +2106,28 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     tuning; None = the measured default).
     """
     S, B = xb.shape
-    M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
+    # Mode: zoom-matmul assembly while its matrices fit VMEM; otherwise
+    # the in-kernel four-step assembly (long taps / BRIR serving —
+    # `_stream_step_asm_kernel`). Decided by pure shape arithmetic so
+    # the ~100 MB BRIR zoom matrices are never materialised.
+    from .vmem import KERNEL_BUDGET
+
+    use_asm = stream_step_vmem_bytes(taps, block, S) >= KERNEL_BUDGET
+    dims = _stream_dims(taps, block)
     L, FL, FLp, F2, F2p, P, taps_p = dims
+    if use_asm:
+        M1p = M2p = trig = None
+        DFTr, DI = _stream_frame_mats(block)
+    else:
+        M1p, M2p, trig, DFTr, DI, dims = _stream_step_mats(taps, block)
+        L, FL, FLp, F2, F2p, P, taps_p = dims
     # Per-grid-step stream chunk: small batches stay compact, large ones
     # tile at MXU-friendly row counts; memory per step is O(chunk), so
-    # the serving batch size is unbounded.
-    SC = chunk if chunk is not None else min(64, _round_up(max(S, 1), 8))
+    # the serving batch size is unbounded. The asm mode defaults smaller
+    # (its per-row working set is ~4× the zoom mode's).
+    SC = chunk if chunk is not None else (
+        min(_STREAM_ASM_CHUNK, _round_up(max(S, 1), 8)) if use_asm
+        else min(64, _round_up(max(S, 1), 8)))
     Sp = _round_up(max(S, 1), SC)
     ps = Sp - S
     nch = Sp // SC
@@ -2006,27 +2168,51 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
                                   memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
-    M1j, M2j = jnp.asarray(M1p), jnp.asarray(M2p)
-    trj, dfj, dij = jnp.asarray(trig), jnp.asarray(DFTr), jnp.asarray(DI)
-    outs = pl.pallas_call(
-        partial(_stream_step_kernel, crossfade, SC, block, FLp, F2p, P,
-                precision),
-        grid=(nch,),
-        in_specs=[row1(block), row1(block),
+    dfj, dij = jnp.asarray(DFTr), jnp.asarray(DI)
+    out_specs = (row2(block), row1(P * F2p), row1(P * F2p),
+                 row2(P * 2 * F2p))
+    out_shape = (jax.ShapeDtypeStruct((2 * Sp, block), jnp.float32),
+                 jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
+                 jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
+                 jax.ShapeDtypeStruct((2 * Sp, P * 2 * F2p), jnp.float32))
+    data_specs = [row1(block), row1(block),
                   row1(P * F2p), row1(P * F2p),
                   row2(P * 2 * F2p), row2(1),
-                  row2(taps_p), row2(1), row2(1),
-                  const(M1j), const(M2j), const(trj), const(dfj),
-                  const(dij)],
-        out_specs=(row2(block), row1(P * F2p), row1(P * F2p),
-                   row2(P * 2 * F2p)),
-        out_shape=(jax.ShapeDtypeStruct((2 * Sp, block), jnp.float32),
-                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
-                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
-                   jax.ShapeDtypeStruct((2 * Sp, P * 2 * F2p), jnp.float32)),
-        interpret=interpret,
-    )(pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, st,
-      hR, dR, gR, M1j, M2j, trj, dfj, dij)
+                  row2(taps_p), row2(1), row2(1)]
+    data = (pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, st,
+            hR, dR, gR)
+    if use_asm:
+        from .filters import DELAY_PAD
+
+        n1L, GhL = L // 128, L // 128 // 2 + 1
+        cj = [jnp.asarray(a) for a in
+              (*_forward_fft_consts(2 * block)[:2],
+               *_forward_fft_consts(2 * block)[4:6],
+               *_forward_fft_consts(2 * block)[2:4],
+               *_epilogue_consts(L),
+               *_forward_fft_consts(L),
+               _ramp_trig_scrambled(L), *_scram_to_nat(2 * block),
+               DFTr, DI)]
+        outs = pl.pallas_call(
+            partial(_stream_step_asm_kernel, crossfade, SC, block, F2p, P,
+                    precision, n1L, GhL, taps + DELAY_PAD, taps_p),
+            grid=(nch,),
+            in_specs=data_specs + [const(a) for a in cj],
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret,
+        )(*data, *cj)
+    else:
+        M1j, M2j = jnp.asarray(M1p), jnp.asarray(M2p)
+        trj = jnp.asarray(trig)
+        outs = pl.pallas_call(
+            partial(_stream_step_kernel, crossfade, SC, block, FLp, F2p, P,
+                    precision),
+            grid=(nch,),
+            in_specs=data_specs + [const(M1j), const(M2j), const(trj),
+                                   const(dfj), const(dij)],
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret,
+        )(*data, M1j, M2j, trj, dfj, dij)
 
     yR, nfr, nfi, nh = outs
 

@@ -126,10 +126,23 @@ def fits_partitioned_asm(taps: int, B: int, P: int) -> bool:
 
 
 def fits_stream(taps: int, block: int, n_streams: int) -> bool:
-    """Fused streaming-step kernel."""
-    from .pallas_kernels import stream_step_vmem_bytes
+    """Fused streaming-step kernel: the zoom-matmul variant while its
+    matrices fit, else the in-kernel-assembly variant (long taps / BRIR
+    serving — same structural constraints as the partitioned asm
+    kernel). `fused_stream_step` makes the same mode decision from the
+    same arithmetic."""
+    from .filters import DELAY_PAD, next_pow2
+    from .pallas_kernels import (stream_asm_vmem_bytes,
+                                 stream_step_vmem_bytes)
 
-    return stream_step_vmem_bytes(taps, block, n_streams) < KERNEL_BUDGET
+    if stream_step_vmem_bytes(taps, block, n_streams) < KERNEL_BUDGET:
+        return True
+    T_pad = taps + DELAY_PAD
+    L = next_pow2(T_pad)
+    P = -(-T_pad // block)
+    if block % 128 != 0 or L % 256 != 0 or P * block > L:
+        return False
+    return stream_asm_vmem_bytes(taps, block, n_streams) < ASM_BUDGET
 
 
 # ------------------------------------------------- Mosaic-failure fallback
