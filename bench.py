@@ -50,6 +50,32 @@ SR = 44_100
 # compile/allocator ramp.
 PRIME = os.environ.get("TINAURAL_BENCH_PRIME") == "1"
 
+# Smoke mode: `python bench.py --smoke` (or TINAURAL_BENCH_SMOKE=1) runs
+# EVERY group end-to-end on CPU with tiny shapes and interpreter-mode
+# kernels, each executable compiled and run ONCE, untimed. It exists to
+# catch import/routing/shape breakage at HEAD before an official on-chip
+# capture — round 4's run 5 crashed mid-capture on exactly that class of
+# failure (source change landed while the run's later group subprocesses
+# were starting; see BENCH_NOTES "bench-methodology note"). All numbers
+# printed in smoke mode are meaningless (inf/0) by design; the exit
+# criterion is "no group raised".
+SMOKE = (os.environ.get("TINAURAL_BENCH_SMOKE") == "1"
+         or "--smoke" in sys.argv)
+if SMOKE:
+    os.environ["TINAURAL_BENCH_SMOKE"] = "1"   # propagate to group procs
+    os.environ["TINAURAL_FORCE_INTERPRET"] = "1"
+    import jax
+
+    # env alone is overridden by this machine's sitecustomize; the config
+    # API wins until backend init (same pattern as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    PRIME = True  # run-once semantics for every timing helper
+
+
+def _sz(official: int, smoke: int) -> int:
+    """A workload size: the official value, or the tiny smoke-mode one."""
+    return smoke if SMOKE else official
+
 
 # --------------------------------------------------------------- workloads
 # Each runs in its own subprocess: bench.py --workload NAME prints JSON.
@@ -168,7 +194,7 @@ def w_trajectory(use_pallas: bool = True) -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _trajectory_fn
 
-    N, B = 1 << 23, 1024
+    N, B = _sz(1 << 23, 1 << 15), 1024
     cfg = RenderConfig(block_size=B, use_pallas=use_pallas)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(0)
@@ -201,7 +227,7 @@ def w_traj_dir4() -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _trajectory_fn
 
-    N, B = 1 << 23, 1024
+    N, B = _sz(1 << 23, 1 << 15), 1024
     cfg = RenderConfig(block_size=B, dir_rate=4)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(0)
@@ -226,7 +252,7 @@ def w_scene_moving_dir4() -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _scene_fn
 
-    S, N, B = 64, 1 << 17, 1024
+    S, N, B = _sz(64, 8), _sz(1 << 17, 1 << 14), 1024
     cfg = RenderConfig(block_size=B, dir_rate=4)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(2)
@@ -249,7 +275,7 @@ def w_scene256() -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _scene_fn
 
-    S, N, B = 256, 1 << 16, 1024
+    S, N, B = _sz(256, 16), _sz(1 << 16, 1 << 14), 1024
     cfg = RenderConfig(block_size=B)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(9)
@@ -270,7 +296,7 @@ def w_scene() -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _scene_static_fn
 
-    S, N, B = 64, 1 << 18, 1024
+    S, N, B = _sz(64, 8), _sz(1 << 18, 1 << 14), 1024
     cfg = RenderConfig(block_size=B)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(1)
@@ -292,7 +318,7 @@ def w_scene_moving() -> dict:
     from tinaural.models import BinauralRenderer
     from tinaural.models.renderer import _scene_fn
 
-    S, N, B = 64, 1 << 17, 1024
+    S, N, B = _sz(64, 8), _sz(1 << 17, 1 << 14), 1024
     cfg = RenderConfig(block_size=B)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(2)
@@ -334,7 +360,7 @@ def w_static() -> dict:
 
     # 2^22 (was 2^20 through round 3): keeps the per-dispatch device time
     # above the tunnel's ~0.6-1 ms dispatch floor (see w_trajectory).
-    N = 1 << 22
+    N = _sz(1 << 22, 1 << 15)
     cfg = RenderConfig()
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(3)
@@ -374,7 +400,7 @@ def w_brir() -> dict:
     rng = np.random.default_rng(6)
     # 2^19 (was 2^17 through round 3): keeps the per-dispatch device time
     # above the tunnel's ~0.6-1 ms dispatch floor (see w_trajectory).
-    N = 1 << 19
+    N = _sz(1 << 19, 1 << 14)
     nb = N // B
     xb = jax.device_put(rng.standard_normal((nb, B)).astype(np.float32))
     dirs = jax.device_put(
@@ -466,10 +492,10 @@ def w_capacity() -> dict:
     from tinaural.data import load_hrir_set
     from tinaural.models import BatchedStream
 
-    B, K = 256, 32
+    B, K = 256, _sz(32, 4)
     table = load_hrir_set("synthetic")
     out = {}
-    for S in (256, 1024):
+    for S in (256, 1024) if not SMOKE else (8, 16):
         bs = BatchedStream(table, S, RenderConfig(stream_block=B))
         rngb = np.random.default_rng(8)
         blocks = rngb.standard_normal((S, B)).astype(np.float32)
@@ -517,10 +543,11 @@ def w_stream() -> dict:
     if PRIME:
         from tinaural.models import BatchedStream
 
-        bs = BatchedStream(load_hrir_set("synthetic"), 64,
+        Sp = _sz(64, 8)
+        bs = BatchedStream(load_hrir_set("synthetic"), Sp,
                            RenderConfig(stream_block=B))
-        _batched_push_cost(bs, np.zeros((64, B), np.float32),
-                           np.zeros(64, np.float32), np.zeros(64, np.float32))
+        _batched_push_cost(bs, np.zeros((Sp, B), np.float32),
+                           np.zeros(Sp, np.float32), np.zeros(Sp, np.float32))
         return {"push_compute_ms": float("inf"),
                 "push_latency_ms_incl_tunnel_rtt": float("inf"),
                 "realtime_budget_ms": B / SR * 1e3,
@@ -576,8 +603,9 @@ def w_snr() -> dict:
     cfg = RenderConfig(block_size=1024)
     table = load_hrir_set("synthetic")
     rng = np.random.default_rng(5)
-    x = rng.standard_normal(SR).astype(np.float32)
-    nb = -(-SR // 1024)
+    n_samp = _sz(SR, SR // 8)
+    x = rng.standard_normal(n_samp).astype(np.float32)
+    nb = -(-n_samp // 1024)
     dirs = np.stack([np.linspace(250, 40, nb) % 360,
                      np.linspace(-30, 70, nb)], axis=1)
     y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs),
@@ -643,10 +671,11 @@ def main() -> None:
     errors = {}
     for gname in GROUPS:
         try:
-            try:  # priming pass: compile/warm every executable untimed
-                _run_group(gname, prime=True)
-            except Exception:
-                pass  # priming is best-effort; the timed run still compiles
+            if not SMOKE:  # priming pass: compile/warm untimed
+                try:
+                    _run_group(gname, prime=True)
+                except Exception:
+                    pass  # best-effort; the timed run still compiles
             res.update(_run_group(gname))
         except Exception as e:  # keep the headline line printable even if
             errors[gname] = str(e)[:200]  # a group times out on the tunnel
@@ -717,6 +746,8 @@ def main() -> None:
         "backend": jax.default_backend(),
         "extras": extras,
     }
+    if SMOKE:
+        result["smoke"] = True  # numbers are meaningless; pass = no errors
     print(json.dumps(result))
 
 

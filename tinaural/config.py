@@ -11,6 +11,7 @@ recompilation beyond their own identity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 
@@ -132,6 +133,14 @@ class RenderConfig:
     part_assembly: str = "kernel"
 
     def __post_init__(self):
+        # Escape hatch for CPU smoke runs of TPU-shaped entry points
+        # (bench.py --smoke): force every Pallas route into interpreter
+        # mode so kernel eligibility/routing code still executes without
+        # a Mosaic backend. Never set in production or the test suite
+        # (tests opt into interpret per-config).
+        if (os.environ.get("TINAURAL_FORCE_INTERPRET") == "1"
+                and not self.pallas_interpret):
+            object.__setattr__(self, "pallas_interpret", True)
         if self.part_assembly not in ("xla", "kernel"):
             raise ValueError(
                 f"part_assembly must be xla|kernel, "
