@@ -519,6 +519,26 @@ def w_capacity() -> dict:
         v for k, v in out.items() if k.startswith("sustained_aggregate_"))
     out["realtime_listeners_per_block_dispatch"] = max(
         v for k, v in out.items() if k.startswith("aggregate_"))
+
+    # BRIR serving: 2048-tap per-listener filters through the streaming
+    # step's in-kernel assembly mode (round-4 late — these shapes
+    # previously fell back to the XLA step; the zoom matrices are
+    # ~100 MB and can never ride VMEM). Sustained regime only: K=8
+    # blocks/dispatch = 46 ms added latency, inside a room-rendering
+    # budget.
+    Sb, Kb = _sz(64, 8), _sz(8, 2)
+    bt = load_hrir_set("synthetic", taps=2048)
+    bsb = BatchedStream(bt, Sb, RenderConfig(stream_block=B))
+    rngc = np.random.default_rng(11)
+    mb = jax.device_put(
+        rngc.standard_normal((Kb, Sb, B)).astype(np.float32))
+    maz = jax.device_put((np.linspace(0, 350, Sb, dtype=np.float32)[None]
+                          + 2.0 * np.arange(Kb, dtype=np.float32)[:, None])
+                         % 360.0)
+    mel = jax.device_put(np.zeros((Kb, Sb), np.float32))
+    per_brir = _push_many_cost(bsb, mb, maz, mel)
+    out[f"sustained_brir_push_ms_{Sb}"] = per_brir * 1e3
+    out["brir_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir
     return out
 
 
@@ -727,6 +747,8 @@ def main() -> None:
         # by the tunnel's per-push h2d, see BENCH_NOTES)
         "serving_realtime_listeners_per_chip": get(
             "capacity", "realtime_listeners_per_chip"),
+        "serving_brir2048_listeners_per_chip": get(
+            "capacity", "brir_realtime_listeners_per_chip"),
         "serving_listeners_per_block_dispatch": get(
             "capacity", "realtime_listeners_per_block_dispatch"),
         "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),
