@@ -147,3 +147,43 @@ def test_sharded_push_many_matches_sequential(table, rng):
                     jax.tree.leaves(svc_many.state)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.array_equal(a, b) or snr_db(a, b) > 120, "state diverged"
+
+
+def test_sharded_stream_asm_mode_long_filters(rng):
+    """Pod-scale BRIR serving: long-tap (512) per-listener filters route
+    through the streaming kernel's IN-KERNEL assembly mode (over the
+    zoom-matrix VMEM budget) *under shard_map* on the 8-device src mesh —
+    the round-4 BRIR-streaming path composed with the collective-free
+    sharded serving layer. Golden parity per listener across shard
+    boundaries, plus push_many state-chaining on the same route."""
+    from tinaural.data import load_hrir_set
+    from tinaural.parallel import ShardedBatchedStream, make_mesh
+    from tinaural.models.streaming import _use_fused_step
+    from tinaural.ops.pallas_kernels import stream_step_vmem_bytes
+    from tinaural.ops.vmem import KERNEL_BUDGET
+
+    table = load_hrir_set("synthetic", taps=512)
+    B, S, K = 256, 8, 2
+    cfg = RenderConfig(stream_block=B, pallas_interpret=True)
+    # over the zoom budget (else this exercises nothing new), yet fused
+    assert stream_step_vmem_bytes(512, B, S // 8) >= KERNEL_BUDGET
+    assert _use_fused_step(jax.device_put(table), cfg, S // 8)
+    mesh = make_mesh((8, 1))
+    svc = ShardedBatchedStream(table, S, mesh, cfg)
+    azs = np.linspace(10, 320, S).astype(np.float32)
+    els = np.linspace(-20, 50, S).astype(np.float32)
+    golds = [golden.GoldenStream(table, RenderConfig(stream_block=B))
+             for s in (0, 7)]
+    blocks = rng.standard_normal((S, B)).astype(np.float32)
+    y = np.asarray(svc.push(blocks, azs, els))
+    for g, s in zip(golds, (0, 7)):  # first + last shard
+        ref = g.push(blocks[s].astype(np.float64), azs[s], els[s])
+        assert snr_db(ref, y[s]) > 60, s
+    # push_many chains state through the same asm-mode kernel
+    mb = rng.standard_normal((K, S, B)).astype(np.float32)
+    ym = np.asarray(svc.push_many(mb, azs, els))
+    assert ym.shape == (K, S, 2, B)
+    for g, s in zip(golds, (0, 7)):
+        for k in range(K):
+            ref = g.push(mb[k, s].astype(np.float64), azs[s], els[s])
+            assert snr_db(ref, ym[k, s]) > 60, (k, s)
