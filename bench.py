@@ -666,7 +666,7 @@ def _run_group(name: str, prime: bool = False) -> dict:
         env["TINAURAL_BENCH_PRIME"] = "1"
     out = subprocess.run(
         [sys.executable, __file__, "--workload", name],
-        capture_output=True, text=True, timeout=1700, env=env,
+        capture_output=True, text=True, timeout=2400, env=env,
         cwd="/root/repo" if __file__.startswith("/root/repo") else None)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
