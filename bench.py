@@ -771,6 +771,8 @@ def main() -> None:
     if SMOKE:
         result["smoke"] = True  # numbers are meaningless; pass = no errors
     print(json.dumps(result))
+    if SMOKE and errors:
+        sys.exit(1)  # a pre-flight must fail loudly
 
 
 if __name__ == "__main__":
