@@ -398,9 +398,11 @@ def w_brir() -> dict:
     cfg = RenderConfig(stream_block=B)
     r = BinauralRenderer(load_hrir_set("synthetic", taps=2048), cfg)
     rng = np.random.default_rng(6)
-    # 2^19 (was 2^17 through round 3): keeps the per-dispatch device time
-    # above the tunnel's ~0.6-1 ms dispatch floor (see w_trajectory).
-    N = _sz(1 << 19, 1 << 14)
+    # 2^20 (2^19 through most of round 4, 2^17 through round 3): the
+    # in-kernel assembly route cut the call to ~1 ms at 2^19 — back
+    # inside the tunnel's ~0.6-1 ms dispatch floor the size exists to
+    # stay above (see w_trajectory) — so the size doubles again.
+    N = _sz(1 << 20, 1 << 14)
     nb = N // B
     xb = jax.device_put(rng.standard_normal((nb, B)).astype(np.float32))
     dirs = jax.device_put(

@@ -44,6 +44,32 @@ def test_no_budget_literals_outside_vmem():
     assert not offenders, offenders
 
 
+def test_stream_mode_single_source_of_routing():
+    """`vmem.stream_mode` is the one place the fused streaming step's
+    variant is decided; `fits_stream` and `fused_stream_step` both
+    consume it, and an ineligible shape raises instead of launching a
+    kernel on misaligned partition tiles."""
+    from tinaural.ops import pallas_kernels as pk
+
+    assert vmem.stream_mode(128, 512, 8) == "zoom"
+    assert vmem.stream_mode(2048, 512, 64) == "asm"  # BRIR serving shape
+    assert vmem.stream_mode(2048, 100, 64) is None  # block % 128 != 0
+    assert vmem.stream_mode(32768, 512, 4096) is None  # over both budgets
+    for shape in ((128, 512, 8), (2048, 512, 64), (2048, 100, 64)):
+        assert vmem.fits_stream(*shape) == (vmem.stream_mode(*shape)
+                                            is not None)
+
+    import jax.numpy as jnp
+
+    taps, block, S = 2048, 100, 64
+    h = jnp.zeros((S, 2, taps), jnp.float32)
+    dg = jnp.zeros((S, 2), jnp.float32)
+    xb = jnp.zeros((S, block), jnp.float32)
+    with pytest.raises(ValueError, match="no fused variant"):
+        pk.fused_stream_step(h, dg, dg, xb, xb, None, None, None, None,
+                             None, taps=taps, block=block, interpret=True)
+
+
 def test_is_mosaic_failure_classification():
     assert vmem.is_mosaic_failure(RuntimeError("Mosaic lowering failed"))
     assert vmem.is_mosaic_failure(MemoryError("Ran out of memory in VMEM"))

@@ -1583,38 +1583,17 @@ def _ramp_trig_scrambled(L: int) -> np.ndarray:
     return out
 
 
-def _rows_to_planes(dot, chunk: int, n1L: int, GhL: int, taps_p: int,
+def _rows_to_planes(precision, chunk: int, n1L: int, GhL: int, taps_p: int,
                     h0, h1, d0, d1, g0, g1,
                     flwr, flwi, flmr, flmi, fltr, flti, trig_s):
     """In-kernel rfft_L(h)·delay_ramp·gain → the scrambled-half ramped
     planes `_asm_filters` consumes. h0, h1: (chunk, taps_p) ear rows
-    (ear-packed into ONE forward four-step at L, unpacked via the
+    (ear-packed into ONE `_forward_fourstep` at L, unpacked via the
     mirror tile); d0/d1, g0/g1: (chunk, 1) per-ear delay/gain columns;
     trig_s: the `_ramp_trig_scrambled(L)` constant."""
-    ng_in = taps_p // 128
-    gl = [(h0[:, i * 128:(i + 1) * 128], h1[:, i * 128:(i + 1) * 128])
-          if i < ng_in else None for i in range(n1L)]
-    S1 = _tile_fft(gl, n1L, -1.0)
-    T_r, T_i = [], []
-    for kk in range(n1L):
-        sr, si = S1[kk]
-        tr, ti = fltr[kk:kk + 1, :], flti[kk:kk + 1, :]
-        T_r.append(sr * tr - si * ti)
-        T_i.append(sr * ti + si * tr)
-    Ar_ = jnp.concatenate(T_r[:GhL], axis=0)
-    Ai_ = jnp.concatenate(T_i[:GhL], axis=0)
-    W, Wi_ = flwr[...], flwi[...]
-    Zf_r = dot(Ar_, W) - dot(Ai_, Wi_)
-    Zf_i = dot(Ar_, Wi_) + dot(Ai_, W)
-    U0_r = dot(T_r[0], W) + dot(T_i[0], Wi_)
-    U0_i = -dot(T_r[0], Wi_) + dot(T_i[0], W)
-    Br_ = jnp.concatenate([T_r[n1L - kk] for kk in range(1, GhL)], axis=0)
-    Bi_ = jnp.concatenate([T_i[n1L - kk] for kk in range(1, GhL)], axis=0)
-    Wm, Wmi = flmr[...], flmi[...]
-    Um_r = dot(Br_, Wm) - dot(Bi_, Wmi)
-    Um_i = dot(Br_, Wmi) + dot(Bi_, Wm)
-    C_r = jnp.concatenate([U0_r, Um_r], axis=0)
-    C_i = -jnp.concatenate([U0_i, Um_i], axis=0)
+    Zf_r, Zf_i, C_r, C_i = _forward_fourstep(
+        h0, h1, n1L, GhL, chunk, flwr, flwi, flmr, flmi, fltr, flti,
+        precision, need_mirror=True)
     lanesL = lambda Z: jnp.concatenate(
         [Z[kk * chunk:(kk + 1) * chunk] for kk in range(GhL)], axis=1)
     Zfr_l, Zfi_l = lanesL(Zf_r), lanesL(Zf_i)
@@ -1654,7 +1633,7 @@ def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
     colv = lambda k: jnp.sum(jnp.where(lane == k, dgv, 0.0), axis=1,
                              keepdims=True)
     ar, ai, br, bi = _rows_to_planes(
-        dot, chunk, n1L, GhL, taps_p,
+        precision, chunk, n1L, GhL, taps_p,
         h0_ref[...], h1_ref[...], colv(0), colv(1), colv(2), colv(3),
         flwr, flwi, flmr, flmi, fltr, flti, trig_s)
     Hr, Hi = _asm_filters(
@@ -2002,7 +1981,7 @@ def _stream_step_asm_kernel(crossfade: bool, Sp: int, B: int, F2p: int,
     d = d_ref[...]
     g = g_ref[...]
     ar, ai, br, bi = _rows_to_planes(
-        dotp, Sp, n1L, GhL, taps_p,
+        precision, Sp, n1L, GhL, taps_p,
         h[:Sp], h[Sp:], d[:Sp], d[Sp:], g[:Sp], g[Sp:],
         flwr, flwi, flmr, flmi, fltr, flti, trig_s)
     Hr, Hi = _asm_filters(
@@ -2108,11 +2087,20 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     S, B = xb.shape
     # Mode: zoom-matmul assembly while its matrices fit VMEM; otherwise
     # the in-kernel four-step assembly (long taps / BRIR serving —
-    # `_stream_step_asm_kernel`). Decided by pure shape arithmetic so
-    # the ~100 MB BRIR zoom matrices are never materialised.
-    from .vmem import KERNEL_BUDGET
+    # `_stream_step_asm_kernel`). `vmem.stream_mode` is the single
+    # source of this decision (shape arithmetic only — the ~100 MB BRIR
+    # zoom matrices are never materialised); a shape neither variant
+    # supports raises rather than running the asm kernel on misaligned
+    # partition tiles.
+    from .vmem import stream_mode
 
-    use_asm = stream_step_vmem_bytes(taps, block, S) >= KERNEL_BUDGET
+    mode = stream_mode(taps, block, S)
+    if mode is None:
+        raise ValueError(
+            f"fused_stream_step: no fused variant for taps={taps}, "
+            f"block={block}, n_streams={S} (route via "
+            f"models.streaming, which gates on vmem.fits_stream)")
+    use_asm = mode == "asm"
     dims = _stream_dims(taps, block)
     L, FL, FLp, F2, F2p, P, taps_p = dims
     if use_asm:
@@ -2185,22 +2173,23 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
         from .filters import DELAY_PAD
 
         n1L, GhL = L // 128, L // 128 // 2 + 1
+        # the kernel's 2B-frame group order is (W, tw, mirror); the
+        # L group is passed in _forward_fft_consts' own (W, mirror, tw)
+        fwr, fwi, fmr, fmi, ftr, fti = _forward_fft_consts(2 * block)
         cj = [jnp.asarray(a) for a in
-              (*_forward_fft_consts(2 * block)[:2],
-               *_forward_fft_consts(2 * block)[4:6],
-               *_forward_fft_consts(2 * block)[2:4],
+              (fwr, fwi, ftr, fti, fmr, fmi,
                *_epilogue_consts(L),
                *_forward_fft_consts(L),
-               _ramp_trig_scrambled(L), *_scram_to_nat(2 * block),
-               DFTr, DI)]
+               _ramp_trig_scrambled(L), *_scram_to_nat(2 * block))]
         outs = pl.pallas_call(
             partial(_stream_step_asm_kernel, crossfade, SC, block, F2p, P,
                     precision, n1L, GhL, taps + DELAY_PAD, taps_p),
             grid=(nch,),
-            in_specs=data_specs + [const(a) for a in cj],
+            in_specs=(data_specs + [const(a) for a in cj]
+                      + [const(dfj), const(dij)]),
             out_specs=out_specs, out_shape=out_shape,
             interpret=interpret,
-        )(*data, *cj)
+        )(*data, *cj, dfj, dij)
     else:
         M1j, M2j = jnp.asarray(M1p), jnp.asarray(M2p)
         trj = jnp.asarray(trig)

@@ -125,24 +125,34 @@ def fits_partitioned_asm(taps: int, B: int, P: int) -> bool:
     return partitioned_asm_vmem_bytes(taps, B, P) < ASM_BUDGET
 
 
-def fits_stream(taps: int, block: int, n_streams: int) -> bool:
-    """Fused streaming-step kernel: the zoom-matmul variant while its
-    matrices fit, else the in-kernel-assembly variant (long taps / BRIR
-    serving — same structural constraints as the partitioned asm
-    kernel). `fused_stream_step` makes the same mode decision from the
-    same arithmetic."""
+def stream_mode(taps: int, block: int, n_streams: int):
+    """Which fused streaming-step variant a shape is eligible for:
+    ``"zoom"`` (the zoom-matmul assembly while its matrices fit VMEM),
+    ``"asm"`` (in-kernel long-filter assembly — long taps / BRIR
+    serving; same structural constraints as the partitioned asm
+    kernel), or ``None`` (neither — callers take the XLA step). The
+    SINGLE source of the decision: both the `fits_stream` gate and
+    `fused_stream_step`'s internal routing consume it, so the two can
+    never desynchronize."""
     from .filters import DELAY_PAD, next_pow2
     from .pallas_kernels import (stream_asm_vmem_bytes,
                                  stream_step_vmem_bytes)
 
     if stream_step_vmem_bytes(taps, block, n_streams) < KERNEL_BUDGET:
-        return True
+        return "zoom"
     T_pad = taps + DELAY_PAD
     L = next_pow2(T_pad)
     P = -(-T_pad // block)
     if block % 128 != 0 or L % 256 != 0 or P * block > L:
-        return False
-    return stream_asm_vmem_bytes(taps, block, n_streams) < ASM_BUDGET
+        return None
+    if stream_asm_vmem_bytes(taps, block, n_streams) < ASM_BUDGET:
+        return "asm"
+    return None
+
+
+def fits_stream(taps: int, block: int, n_streams: int) -> bool:
+    """Fused streaming-step kernel eligibility (either variant)."""
+    return stream_mode(taps, block, n_streams) is not None
 
 
 # ------------------------------------------------- Mosaic-failure fallback
