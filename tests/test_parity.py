@@ -282,6 +282,26 @@ def test_dir_rate_parity_trajectory_and_scene(table, rng):
             assert snr_db(ref, y) > GATE_DB, (k, pallas, "scene")
 
 
+def test_dir_rate_streamed_snaps(table, rng):
+    """render_streamed (the partitioned/BRIR moving route) honors
+    dir_rate: a dir_rate=4 render equals the dir_rate=1 render of the
+    snapped track (the knob was a silent no-op on exactly this path —
+    round-4 review finding)."""
+    B = 128
+    nb = 12
+    x = rng.standard_normal(nb * B).astype(np.float32)
+    dirs = np.stack([np.linspace(0, 330, nb), np.linspace(-35, 80, nb)],
+                    axis=1).astype(np.float32)
+    cfg = RenderConfig(stream_block=B, pallas_interpret=True)
+    r4 = BinauralRenderer(table, cfg.replace(dir_rate=4))
+    r1 = BinauralRenderer(table, cfg)
+    a = np.asarray(r4.render_streamed(x, dirs))
+    b = np.asarray(r1.render_streamed(x, golden.snap_dirs(dirs, 4)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(
+        a, np.asarray(r1.render_streamed(x, dirs)))  # the knob does act
+
+
 def test_dir_rate_batch_parity(table, rng):
     """render_batch (the serving route through fused_block_step) at
     dir_rate=4 matches per-source golden trajectories of the snapped

@@ -633,6 +633,12 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     from ..ops.partitioned import (frame_spectra, overlap_save_tail,
                                    partitioned_mac, shifted_stack, tail_pair)
 
+    # dir_rate holds on this route too (golden.snap_dirs is the
+    # route-independent definition). Snapping alone gives the semantics;
+    # unlike the trajectory kernels there is no unique-assembly fast
+    # path here yet, so dir_rate>1 saves no partitioned-assembly work.
+    dirs = _snap_dirs(dirs, config.dir_rate)
+
     taps = table.h.shape[-1]
     nb, B = xb.shape
     P = -(-(taps + DELAY_PAD) // B)

@@ -306,25 +306,32 @@ class BatchedStream:
         docs/BENCH_NOTES.md round 4). Latency rises to K blocks; pick K
         per deployment's latency budget.
         """
-        B = self.config.stream_block
-        blocks = _as_f32(blocks)
-        if blocks.ndim != 3 or blocks.shape[1:] != (self.n_streams, B):
-            raise ValueError(
-                f"blocks must be (K, {self.n_streams}, {B}), "
-                f"got {blocks.shape}")
-        K = blocks.shape[0]
-        azs, els = _as_f32(azs), _as_f32(els)
-        if azs.shape == (self.n_streams,):
-            azs = jnp.broadcast_to(azs[None], (K, self.n_streams))
-        if els.shape == (self.n_streams,):
-            els = jnp.broadcast_to(els[None], (K, self.n_streams))
-        if azs.shape != (K, self.n_streams) or els.shape != azs.shape:
-            raise ValueError(
-                f"azs/els must be ({K}, {self.n_streams}) or "
-                f"({self.n_streams},), got {azs.shape}/{els.shape}")
+        blocks, azs, els = _validate_many(
+            blocks, azs, els, self.n_streams, self.config.stream_block)
         self._state, ys = _batch_scan_fn(self.table, self._state, blocks,
                                          azs, els, self.config)
         return ys
+
+
+def _validate_many(blocks, azs, els, n_streams: int, B: int):
+    """Shared `push_many` input contract (BatchedStream and the sharded
+    variant): blocks (K, S, B); azs/els (K, S), or (S,) broadcast over
+    the burst → the validated f32 triple."""
+    blocks = _as_f32(blocks)
+    if blocks.ndim != 3 or blocks.shape[1:] != (n_streams, B):
+        raise ValueError(
+            f"blocks must be (K, {n_streams}, {B}), got {blocks.shape}")
+    K = blocks.shape[0]
+    azs, els = _as_f32(azs), _as_f32(els)
+    if azs.shape == (n_streams,):
+        azs = jnp.broadcast_to(azs[None], (K, n_streams))
+    if els.shape == (n_streams,):
+        els = jnp.broadcast_to(els[None], (K, n_streams))
+    if azs.shape != (K, n_streams) or els.shape != azs.shape:
+        raise ValueError(
+            f"azs/els must be ({K}, {n_streams}) or "
+            f"({n_streams},), got {azs.shape}/{els.shape}")
+    return blocks, azs, els
 
 
 class Stream:

@@ -183,13 +183,13 @@ def _ramp_cos_sin(d, trig_ref):
     table (the XLA chain recomputed them per (block, ear); profiled at
     40% of assembly cost); only atan2/cos/sin of the d-dependent phase
     remain per element."""
-    from .filters import DELAY_PAD
+    from .filters import _clip_delay
 
     theta = trig_ref[0:1, :]
     sin_t = trig_ref[1:2, :]
     cos_t = trig_ref[2:3, :]
     w = trig_ref[3:4, :]
-    dc = jnp.clip(d - ALIGN_GUARD, -ALIGN_GUARD, DELAY_PAD - 16.0)
+    dc = _clip_delay(d)
     di = jnp.floor(dc)
     frac = dc - di
     psi = _atan2(frac * sin_t, (1.0 - frac) + frac * cos_t)
@@ -244,19 +244,22 @@ def _assembly_dims(taps: int, n_fft: int):
 
 
 @lru_cache(maxsize=8)
-def _padded_assembly_mats(taps: int, n_fft: int):
+def _padded_assembly_mats(taps: int, n_fft: int, with_ma: bool = True):
     """Zoom matrices padded to TPU lane multiples.
 
     Returns (M1p (taps_p, 2·FLp), MBp (2·FLp, Tp_p), MAp (Tp_p, 2·Fnp),
     dims) with dims = `_assembly_dims(taps, n_fft)`. Columns
     [FLp:FLp+FL) hold the imaginary planes so each plane is lane-aligned.
+    ``with_ma=False`` skips the (largest) MAp build and returns None in
+    its slot — for callers that replace the MA stage (the scrambled
+    mats build their own signed-permutation MA; the filter-fft route
+    needs none at all).
     """
     from .filters import _hybrid_matrices, _rfft_matrix
 
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = _assembly_dims(taps, n_fft)
 
     M1, MB = _hybrid_matrices(taps)      # (taps, 2FL), (2FL, T_pad)
-    MA = _rfft_matrix(taps, n_fft)        # (T_pad, 2Fn)
 
     M1p = np.zeros((taps_p, 2 * FLp), np.float32)
     M1p[:taps, :FL] = M1[:, :FL]
@@ -266,9 +269,12 @@ def _padded_assembly_mats(taps: int, n_fft: int):
     MBp[:FL, :T_pad] = MB[:FL]
     MBp[FLp:FLp + FL, :T_pad] = MB[FL:]
 
-    MAp = np.zeros((Tp_p, 2 * Fnp), np.float32)
-    MAp[:T_pad, :Fn] = MA[:, :Fn]
-    MAp[:T_pad, Fnp:Fnp + Fn] = MA[:, Fn:]
+    MAp = None
+    if with_ma:
+        MA = _rfft_matrix(taps, n_fft)    # (T_pad, 2Fn)
+        MAp = np.zeros((Tp_p, 2 * Fnp), np.float32)
+        MAp[:T_pad, :Fn] = MA[:, :Fn]
+        MAp[:T_pad, Fnp:Fnp + Fn] = MA[:, Fn:]
 
     # Lanes ≥ FL are don't-cares — M1p's zero columns null their
     # contribution through the chain.
@@ -453,11 +459,17 @@ def fused_assembly_mac(h: jax.Array, d: jax.Array, g: jax.Array,
 def _scrambled_assembly_mats(taps: int, n_fft: int):
     """`_padded_assembly_mats` with MA emitting the scrambled-half bins of
     `_epilogue_dims` (columns are a signed permutation of the natural
-    rfft matrix's — same size, same oracle derivation)."""
+    rfft matrix's — same size, same oracle derivation). When the shape
+    takes the in-kernel filter-FFT route (`use_filter_fft`), the MA
+    stage does not exist and its slot carries a tile-shaped placeholder
+    — the (Tp_p, 2·Fs) matrix (~12 MB at BRIR taps) is never built."""
     from .filters import _rfft_matrix
 
-    M1p, MBp, _, trig, dims = _padded_assembly_mats(taps, n_fft)
+    M1p, MBp, _, trig, dims = _padded_assembly_mats(taps, n_fft,
+                                                    with_ma=False)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
+    if use_filter_fft(taps, n_fft):
+        return M1p, MBp, np.zeros((8, 128), np.float32), trig, dims
     idx, sgn = _scramble_maps(n_fft)
     Fs = idx.shape[0]
     MA = _rfft_matrix(taps, n_fft)  # (T_pad, 2Fn) natural [Re | Im]
@@ -824,9 +836,7 @@ def fused_block_step(h: jax.Array, d: jax.Array, g: jax.Array,
     _CHUNK = chunk if chunk is not None else _DEFAULT_CHUNK
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
-    ff = use_filter_fft(taps, n_fft)
-    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
-        MAs = np.zeros((8, 128), np.float32)
+    ff = use_filter_fft(taps, n_fft)  # ff → MAs is the (8, 128) stub
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
 
     k = dir_rate
@@ -922,9 +932,7 @@ def fused_block_step_mix(h: jax.Array, d: jax.Array, g: jax.Array,
         _DEFAULT_CHUNK, _round_up(nb, _F32_TILE_ROWS))
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
-    ff = use_filter_fft(taps, n_fft)
-    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
-        MAs = np.zeros((8, 128), np.float32)
+    ff = use_filter_fft(taps, n_fft)  # ff → MAs is the (8, 128) stub
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
 
     nbs = _round_up(nb, _CHUNK)
@@ -1105,9 +1113,7 @@ def fused_block_render(h, d, g, xbs: jax.Array,
     n1, Gh, Fs, k_ola = _epilogue_dims(n_fft, B)
     M1p, MBp, MAs, trig, dims = _scrambled_assembly_mats(taps, n_fft)
     L, FL, FLp, T_pad, Tp_p, Fn, Fnp, taps_p = dims
-    ff = use_filter_fft(taps, n_fft)
-    if ff:  # MAs unused in-kernel: don't ship the big constant to VMEM
-        MAs = np.zeros((8, 128), np.float32)
+    ff = use_filter_fft(taps, n_fft)  # ff → MAs is the (8, 128) stub
     fwr, fwi, ffr, ffi, ftr, fti = _forward_fft_consts(n_fft)
     iwr, iwi, ifr, ifi, itr, iti = _epilogue_consts(n_fft)
     gtab = None if idx is None else (taps_p, apply_itd, apply_ild)
@@ -1200,8 +1206,7 @@ def gather_tables(h: jax.Array, delays: jax.Array, gains: jax.Array,
     h: (E, A, 2, taps); delays, gains: (E, A, 2) → (ht (rows_p, 2·taps_p)
     [ear0 | ear1] lane-aligned, dg (rows_p, 128) cols [d0, d1, g0, g1]).
     """
-    _, _, _, _, dims = _scrambled_assembly_mats(taps, n_fft)
-    taps_p = dims[7]
+    taps_p = _assembly_dims(taps, n_fft)[7]
     E, A = h.shape[0], h.shape[1]
     rows = E * A
     rows_p = _round_up(rows, 128)

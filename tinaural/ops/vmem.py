@@ -164,8 +164,15 @@ def is_mosaic_failure(exc: BaseException) -> bool:
 
     Deliberately narrow: transient axon-tunnel errors
     (FAILED_PRECONDITION) and user errors (shape/value) must NOT demote
-    the route — a demotion is sticky for the process.
+    the route — a demotion is sticky for the process. ValueError is
+    excluded as a TYPE, not by message: the kernels' own eligibility
+    raises (e.g. ``fused_stream_step: no fused variant``) mention
+    vmem/pallas by name and must surface loudly, never silently demote
+    — Mosaic lowering/launch failures arrive as RuntimeError /
+    XlaRuntimeError / MemoryError, not ValueError.
     """
+    if isinstance(exc, ValueError):
+        return False
     text = f"{type(exc).__name__}: {exc}"
     needles = ("Mosaic", "mosaic", "VMEM", "vmem", "Pallas", "pallas",
                "RESOURCE_EXHAUSTED", "Ran out of memory")
@@ -184,7 +191,12 @@ def with_xla_fallback(core, static_argnames=("config",)):
     primary is exposed as ``.jitted`` for callers that need the raw jit
     (e.g. AOT lowering). Inside an enclosing trace the try/except cannot
     see the outer compile, so in-trace callers (the `tinaural.parallel`
-    shard_map bodies) keep the byte-estimate pre-filter as their guard.
+    shard_map bodies) keep the byte-estimate pre-filter as their guard
+    — acceptable because a shard compiles the SAME kernels at per-shard
+    (smaller-S) shapes, and every kernel in this family has measured
+    compiles at ~2× these budgets' estimates (module docstring), so a
+    shape inside the pre-filter sits well inside the measured-good
+    envelope even without this net.
     """
     import functools
 
@@ -214,7 +226,7 @@ def with_xla_fallback(core, static_argnames=("config",)):
             _log.warning(
                 "fused kernel failed (%s); falling back to the XLA path "
                 "for this (config, shape) bucket",
-                str(e).splitlines()[0][:200])
+                (str(e).splitlines() or [""])[0][:200])
             demoted[key] = cfg2
             return with_cfg(cfg2)
 

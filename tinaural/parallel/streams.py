@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
 from ..models.streaming import (_as_f32, _batch_scan_fn, _batch_step_fn,
-                                init_state)
+                                _validate_many, init_state)
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -120,22 +120,8 @@ class ShardedBatchedStream:
         chains each shard's own state), so the sustained serving rate
         scales with the chip count.
         """
-        B = self.config.stream_block
-        blocks = _as_f32(blocks)
-        if blocks.ndim != 3 or blocks.shape[1:] != (self.n_streams, B):
-            raise ValueError(
-                f"blocks must be (K, {self.n_streams}, {B}), "
-                f"got {blocks.shape}")
-        K = blocks.shape[0]
-        azs, els = _as_f32(azs), _as_f32(els)
-        if azs.shape == (self.n_streams,):
-            azs = jnp.broadcast_to(azs[None], (K, self.n_streams))
-        if els.shape == (self.n_streams,):
-            els = jnp.broadcast_to(els[None], (K, self.n_streams))
-        if azs.shape != (K, self.n_streams) or els.shape != azs.shape:
-            raise ValueError(
-                f"azs/els must be ({K}, {self.n_streams}) or "
-                f"({self.n_streams},), got {azs.shape}/{els.shape}")
+        blocks, azs, els = _validate_many(
+            blocks, azs, els, self.n_streams, self.config.stream_block)
         self._state, ys = _sharded_scan_fn(self.table, self._state, blocks,
                                            azs, els, self.config, self.mesh)
         return ys
