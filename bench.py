@@ -26,6 +26,7 @@ timing two ways, both measured):
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -691,7 +692,21 @@ def main() -> None:
 
     res = {}
     errors = {}
-    for gname in GROUPS:
+    if not SMOKE:
+        # Fail fast if the TPU tunnel is unreachable: a dead tunnel makes
+        # jax backend init HANG (not error), so without this probe every
+        # group subprocess would burn its full 2400 s timeout (~4 h of
+        # silence) before the error line appears. 300 s is ~10× the
+        # healthy-tunnel init time.
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                capture_output=True, timeout=300, check=True)
+        except Exception as e:
+            errors["backend_probe"] = (
+                f"device backend unreachable ({type(e).__name__}); "
+                "no groups were run")
+    for gname in GROUPS if not errors else ():
         try:
             if not SMOKE:  # priming pass: compile/warm untimed
                 try:
@@ -767,12 +782,25 @@ def main() -> None:
         "value": traj if traj is not None else 0.0,
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round((traj or 0.0) / TARGET_X_REALTIME, 3),
-        "backend": jax.default_backend(),
+        # backend init hangs when the tunnel is dead — skip it then
+        "backend": (jax.default_backend()
+                    if "backend_probe" not in errors else "unreachable"),
         "extras": extras,
     }
     if SMOKE:
         result["smoke"] = True  # numbers are meaningless; pass = no errors
-    print(json.dumps(result))
+
+    def finite(v):
+        # json.dumps emits spec-invalid `Infinity`/`NaN` tokens for
+        # non-finite floats (smoke mode's 0-duration timings; a glitched
+        # tunnel marginal could too) — strict parsers reject the line.
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, dict):
+            return {k: finite(x) for k, x in v.items()}
+        return v
+
+    print(json.dumps(finite(result)))
     if SMOKE and errors:
         sys.exit(1)  # a pre-flight must fail loudly
 
