@@ -147,6 +147,17 @@ def test_push_many_matches_sequential_pushes(table, rng, interpret):
         bs_many.push_many(blocks[0], azs, els)       # missing K axis
     with pytest.raises(ValueError):
         bs_many.push_many(blocks, azs[:, :2], els)   # bad dirs shape
+    # int16 DIRECTIONS mean degrees, never PCM (round-4 advisor finding:
+    # the shared coercion used to scale them by 2^-15, collapsing every
+    # int16 direction to ~0°): int16 azs/els must match their f32 values
+    bs_c = BatchedStream(table, S, cfg)
+    bs_d = BatchedStream(table, S, cfg)
+    azs_i = np.round(azs).astype(np.int16)
+    els_i = np.round(els).astype(np.int16)
+    yc = np.asarray(bs_c.push_many(blocks, azs_i, els_i))
+    yd = np.asarray(bs_d.push_many(blocks, azs_i.astype(np.float32),
+                                   els_i.astype(np.float32)))
+    np.testing.assert_array_equal(yc, yd)
 
 
 def test_stream_crossfade_suppresses_zipper(table, rng):

@@ -77,6 +77,10 @@ def test_is_mosaic_failure_classification():
     assert vmem.is_mosaic_failure(RuntimeError("Mosaic lowering failed"))
     assert vmem.is_mosaic_failure(MemoryError("Ran out of memory in VMEM"))
     assert vmem.is_mosaic_failure(RuntimeError("RESOURCE_EXHAUSTED: vmem"))
+    # Mosaic's own VMEM exhaustion names its memory space
+    assert vmem.is_mosaic_failure(RuntimeError(
+        "RESOURCE_EXHAUSTED: Ran out of memory in memory space vmem "
+        "while allocating"))
     assert not vmem.is_mosaic_failure(ValueError("bad shape (3, 2)"))
     assert not vmem.is_mosaic_failure(
         RuntimeError("FAILED_PRECONDITION: device busy"))
@@ -88,6 +92,54 @@ def test_is_mosaic_failure_classification():
     # empty-message exceptions must classify (and log) without crashing
     assert vmem.is_mosaic_failure(type("MosaicError", (RuntimeError,),
                                        {})())
+    # round-5 split: a bare HBM OOM is the caller's bug, not a demotion
+    hbm = RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                       "space hbm while allocating 12.5G")
+    assert not vmem.is_mosaic_failure(hbm)
+    assert vmem.is_hbm_oom(hbm)
+    assert not vmem.is_hbm_oom(RuntimeError("RESOURCE_EXHAUSTED: vmem"))
+    assert not vmem.is_hbm_oom(ValueError("bad shape"))
+
+
+def test_hbm_oom_reraises_never_demotes():
+    """A forced HBM OOM must surface loudly — never a silent sticky
+    demotion to the XLA route (round-4 VERDICT weak #2 done-criterion)."""
+    import jax.numpy as jnp
+
+    calls = {"xla": 0}
+
+    def core(table, x, config):
+        if config.use_pallas:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Ran out of memory in memory space "
+                "hbm while allocating (forced by test)")
+        calls["xla"] += 1
+        return x
+
+    run = vmem.with_xla_fallback(core)
+    before = vmem.demotion_count()
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        run(None, jnp.ones((4,)), RenderConfig(use_pallas=True))
+    assert calls["xla"] == 0
+    assert vmem.demotion_count() == before
+
+
+def test_demotion_log_records_fallbacks():
+    """Every demotion is visible process-wide (bench reads this after
+    timing so an official capture can prove which route it measured)."""
+    import jax.numpy as jnp
+
+    def core(table, x, config):
+        if config.use_pallas:
+            raise RuntimeError("Mosaic failed to lower (forced by test)")
+        return x
+
+    before = vmem.demotion_count()
+    run = vmem.with_xla_fallback(core)
+    run(None, jnp.ones((4,)), RenderConfig(use_pallas=True))
+    assert vmem.demotion_count() == before + 1
+    assert any("core" in entry and "Mosaic failed" in entry
+               for entry in vmem.demotion_log()[before:])
 
 
 def test_fallback_demotes_and_caches():

@@ -30,20 +30,28 @@ from ..ops.interp import interpolate
 
 
 def _as_f32(x) -> jax.Array:
-    """Coerce push inputs to f32: zero-copy (on-device cast) for jax
-    arrays, host conversion otherwise — EXCEPT int16, which transfers as
-    int16 and scales to [-1, 1] on device (the `read_wav` PCM
-    convention). 16-bit PCM is what a serving front-end actually
-    receives, and sending it raw halves the host→device bytes — the
-    quantity that bounds the per-dispatch serving rate over any
+    """Plain f32 coercion for DIRECTION inputs (azimuths/elevations):
+    zero-copy (on-device cast) for jax arrays, host conversion otherwise.
+    No PCM scaling — an int16 direction array means degrees, not samples
+    (round-4 advisor finding: the shared coercion silently collapsed
+    int16 directions to ~0°)."""
+    if not isinstance(x, jax.Array):
+        return jnp.asarray(np.asarray(x, dtype=np.float32))
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+
+def _as_pcm_f32(x) -> jax.Array:
+    """Coerce AUDIO-block inputs to f32 — like `_as_f32`, EXCEPT int16,
+    which transfers as int16 and scales to [-1, 1] on device (the
+    `read_wav` PCM convention). 16-bit PCM is what a serving front-end
+    actually receives, and sending it raw halves the host→device bytes —
+    the quantity that bounds the per-dispatch serving rate over any
     host↔device link (docs/BENCH_NOTES.md round 4)."""
     if isinstance(x, np.ndarray) and x.dtype == np.int16:
         x = jnp.asarray(x)  # h2d at 2 bytes/sample
-    if not isinstance(x, jax.Array):
-        return jnp.asarray(np.asarray(x, dtype=np.float32))
-    if x.dtype == jnp.int16:
+    if isinstance(x, jax.Array) and x.dtype == jnp.int16:
         return x.astype(jnp.float32) * np.float32(2.0**-15)
-    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    return _as_f32(x)
 
 
 class StreamState(NamedTuple):
@@ -280,7 +288,8 @@ class BatchedStream:
         round trip per block.
         """
         B = self.config.stream_block
-        blocks, azs, els = _as_f32(blocks), _as_f32(azs), _as_f32(els)
+        blocks = _as_pcm_f32(blocks)
+        azs, els = _as_f32(azs), _as_f32(els)
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
@@ -317,7 +326,7 @@ def _validate_many(blocks, azs, els, n_streams: int, B: int):
     """Shared `push_many` input contract (BatchedStream and the sharded
     variant): blocks (K, S, B); azs/els (K, S), or (S,) broadcast over
     the burst → the validated f32 triple."""
-    blocks = _as_f32(blocks)
+    blocks = _as_pcm_f32(blocks)
     if blocks.ndim != 3 or blocks.shape[1:] != (n_streams, B):
         raise ValueError(
             f"blocks must be (K, {n_streams}, {B}), got {blocks.shape}")
@@ -365,7 +374,7 @@ class Stream:
     def push(self, block, az: float, el: float) -> jax.Array:
         """Feed one mono block (B,) at the current head-relative direction
         → one stereo block (2, B)."""
-        block = _as_f32(block)
+        block = _as_pcm_f32(block)
         if block.shape != (self.block_size,):
             raise ValueError(
                 f"block must be ({self.block_size},), got {block.shape}")

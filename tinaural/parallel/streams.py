@@ -23,8 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.streaming import (_as_f32, _batch_scan_fn, _batch_step_fn,
-                                _validate_many, init_state)
+from ..models.streaming import (_as_f32, _as_pcm_f32, _batch_scan_fn,
+                                _batch_step_fn, _validate_many, init_state)
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -103,7 +103,8 @@ class ShardedBatchedStream:
     def push(self, blocks, azs, els) -> jax.Array:
         """blocks: (S, B); azs, els: (S,) → (S, 2, B)."""
         B = self.config.stream_block
-        blocks, azs, els = _as_f32(blocks), _as_f32(azs), _as_f32(els)
+        blocks = _as_pcm_f32(blocks)
+        azs, els = _as_f32(azs), _as_f32(els)
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
