@@ -317,6 +317,47 @@ def w_scene256() -> dict:
             "route": _render_route(cfg, r.table, B, S)}
 
 
+def w_scene_choir() -> dict:
+    """64 moving sources sharing 8 direction tracks (choir/ambience) —
+    the `render_scene(dedupe=True)` lever: identical snapped tracks are
+    pre-mixed on the host (exact by linearity) so the kernel renders 8
+    sources instead of 64. Both regimes are timed in one process (the
+    trustworthy A/B form per BENCH_NOTES); aggregates count the FULL 64
+    sources' audio either way — dedupe delivers the same scene for ~1/8
+    the gather+assembly+MAC work. Round-4 roofline said the moving scene
+    is compute-bound at 78% of bf16 peak, so only FLOP cuts move it."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _dedupe_sources, _scene_fn
+
+    S, U, N, B = _sz(64, 8), _sz(8, 2), _sz(1 << 17, 1 << 14), 1024
+    cfg = RenderConfig(block_size=B)
+    r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
+    rng = np.random.default_rng(14)
+    nb = N // B
+    xs = rng.standard_normal((S, nb * B)).astype(np.float32)
+    tracks = np.stack([rng.uniform(0, 360, (U, nb)),
+                       rng.uniform(-40, 90, (U, nb))],
+                      axis=-1).astype(np.float32)
+    dirs = tracks[rng.integers(0, U, S)]
+
+    xs_u, dirs_u = _dedupe_sources(xs, dirs, cfg)
+    xd = jax.device_put(xs_u.reshape(-1, nb, B))
+    dd = jax.device_put(dirs_u)
+    xf = jax.device_put(xs.reshape(S, nb, B))
+    df = jax.device_put(dirs)
+    per_d = _marginal(lambda: _scene_fn(r.table, xd, dd, cfg), 1, 5)
+    per_f = _marginal(lambda: _scene_fn(r.table, xf, df, cfg), 1, 5)
+    return {
+        "dedup_rendered_sources": int(xs_u.shape[0]),
+        "aggregate_audio_sec_per_sec": S * (N / SR) / per_d,
+        "nodedup_aggregate_audio_sec_per_sec": S * (N / SR) / per_f,
+        "route": _render_route(cfg, r.table, B, int(xs_u.shape[0])),
+    }
+
+
 def w_scene() -> dict:
     """64-source static scene, 2^18 samples/source (~5.9 s audio each)."""
     import jax
@@ -711,6 +752,7 @@ GROUPS = {
         ("traj_dir4", w_traj_dir4),
         ("scene_moving_dir4", w_scene_moving_dir4),
         ("scene256", w_scene256),
+        ("scene_choir", w_scene_choir),
     ],
     "static_group": [("static", w_static), ("brir", w_brir)],
     "stream_group": [("stream", w_stream)],
@@ -825,6 +867,12 @@ def main() -> None:
             "scene_moving_dir4", "aggregate_audio_sec_per_sec"),
         "256src_moving_scene_aggregate": get(
             "scene256", "aggregate_audio_sec_per_sec"),
+        # choir lever (render_scene dedupe): same 64-source scene, 8
+        # shared tracks — dedup vs full, one process
+        "64src_choir8_dedup_aggregate": get(
+            "scene_choir", "aggregate_audio_sec_per_sec"),
+        "64src_choir8_nodedup_aggregate": get(
+            "scene_choir", "nodedup_aggregate_audio_sec_per_sec"),
         # roofline (docs/BENCH_NOTES.md "Roofline accounting"): static MAC
         # inventory of the fused pipeline / marginal device seconds
         "headline_device_ms": get("traj", "device_ms_per_call", nd=3),

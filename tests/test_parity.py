@@ -110,6 +110,63 @@ def test_config4_scene_trajectories(table, rng):
     assert snr_db(ref, y) > GATE_DB
 
 
+def test_scene_dedupe_exact(table, rng):
+    """The render_scene `dedupe` lever (pre-mix sources with identical
+    snapped direction tracks — the exact FLOP cut on the compute-bound
+    scene path): a 24-source choir in 4 direction groups must match
+    golden's full 24-source render AND the dedupe=False render. Covers
+    static scenes, moving scenes, and dir_rate>1 grouping where tracks
+    differ pre-snap but collide post-snap (the snapped key IS the
+    semantics — golden.snap_dirs)."""
+    cfg = RenderConfig(block_size=256)
+    S, U, N = 24, 4, 1500
+    xs = rng.standard_normal((S, N))
+    r = BinauralRenderer(table, cfg)
+
+    # static choir
+    base = np.stack([rng.uniform(0, 360, U), rng.uniform(-40, 90, U)], axis=1)
+    sdirs = base[rng.integers(0, U, S)]
+    y = np.asarray(r.render_scene(xs, sdirs))
+    ref = golden.render_scene(table, xs, sdirs, cfg)
+    assert snr_db(ref, y) > GATE_DB
+    y_off = np.asarray(r.render_scene(xs, sdirs, dedupe=False))
+    assert snr_db(y_off, y) > 100  # same math, different mix order
+
+    # moving choir: 4 shared trajectories
+    nb = -(-N // 256)
+    tracks = np.stack([rng.uniform(0, 360, (U, nb)),
+                       rng.uniform(-40, 90, (U, nb))], axis=2)
+    mdirs = tracks[rng.integers(0, U, S)]
+    ym = np.asarray(r.render_scene(xs, mdirs))
+    refm = golden.render_scene(table, xs, mdirs, cfg)
+    assert snr_db(refm, ym) > GATE_DB
+
+    # dir_rate=2: tracks identical only AFTER snapping still group
+    cfg2 = RenderConfig(block_size=256, dir_rate=2)
+    jitter = mdirs.copy()
+    jitter[:, 1::2, :] += rng.uniform(0, 5, jitter[:, 1::2, :].shape)
+    from tinaural.models.renderer import _dedupe_sources
+
+    xs_u, dirs_u = _dedupe_sources(xs.astype(np.float32),
+                                   jitter.astype(np.float32), cfg2)
+    assert xs_u.shape[0] <= 2 * cfg2.scene_chunk  # grouped to ≤ bucketed U
+    y2 = np.asarray(BinauralRenderer(table, cfg2).render_scene(xs, jitter))
+    ref2 = golden.render_scene(table, xs, golden_snap_scene(jitter, 2), cfg)
+    assert snr_db(ref2, y2) > GATE_DB
+
+    # fully-distinct scenes come back untouched (no silent padding cost)
+    xs_d, dirs_d = _dedupe_sources(xs.astype(np.float32),
+                                   np.stack([np.linspace(0, 300, S),
+                                             np.linspace(-30, 60, S)],
+                                            axis=1).astype(np.float32), cfg)
+    assert xs_d.shape[0] == S and dirs_d.shape[0] == S
+
+
+def golden_snap_scene(dirs: np.ndarray, k: int) -> np.ndarray:
+    """Per-source golden.snap_dirs over an (S, nb, 2) scene track."""
+    return np.stack([golden.snap_dirs(d, k) for d in dirs])
+
+
 def test_config5_stream_push(table, rng):
     """Config 5: streaming push(), per-block head rotation, vs golden."""
     cfg = RenderConfig(stream_block=256)

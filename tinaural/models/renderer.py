@@ -898,6 +898,38 @@ def _chunked_sources(xbs, dirs, chunk: int):
     return xc, dc
 
 
+def _dedupe_sources(xs: np.ndarray, dirs: np.ndarray, config: RenderConfig):
+    """Host-side pre-mix of sources whose SNAPPED direction tracks are
+    identical (the render_scene ``dedupe`` lever): returns (xs', dirs')
+    with one summed signal per unique track. Exact by linearity — every
+    source in a group convolves the same per-direction effective FIR
+    (docs/DSP_NOTES.md §3), and grouping by the snapped track keeps
+    dir_rate semantics (golden.snap_dirs is idempotent, so rendering the
+    snapped representative IS the defined render). The deduped count is
+    bucketed up to a multiple of scene_chunk with silent sources so the
+    compile count stays O(S/scene_chunk); if bucketing erases the win,
+    the scene is returned untouched."""
+    from ..reference.golden import snap_dirs
+
+    S = xs.shape[0]
+    static = dirs.ndim == 2
+    if static:
+        key = dirs
+    else:
+        key = np.stack([snap_dirs(d, config.dir_rate) for d in dirs])
+    uniq, inv = np.unique(key.reshape(S, -1), axis=0, return_inverse=True)
+    U = uniq.shape[0]
+    ch = max(config.scene_chunk, 1)
+    Ub = -(-U // ch) * ch
+    if Ub >= S:
+        return xs, dirs
+    xs_u = np.zeros((Ub, xs.shape[1]), np.float32)
+    np.add.at(xs_u, np.asarray(inv).reshape(-1), xs)
+    dirs_u = uniq.reshape((U, 2) if static else (U, -1, 2))
+    pad = np.broadcast_to(dirs_u[-1:], (Ub - U, *dirs_u.shape[1:]))
+    return xs_u, np.concatenate([dirs_u, pad], axis=0).astype(np.float32)
+
+
 def _bucket_nb(nb: int) -> int:
     """Quarter-octave block-count bucket: variable-length signals hit
     O(log N) compiled shapes per render mode instead of one per distinct
@@ -1068,24 +1100,39 @@ class BinauralRenderer:
 
     # -- scene render (BASELINE.json:10)
 
-    def render_scene(self, xs, dirs) -> jax.Array:
+    def render_scene(self, xs, dirs, dedupe: bool = True) -> jax.Array:
         """Multi-source scene → stereo mixdown. xs: (S, N); dirs: (S, 2)
-        static or (S, n_blocks, 2) trajectories → (2, out_len)."""
+        static or (S, n_blocks, 2) trajectories → (2, out_len).
+
+        ``dedupe`` (default on): sources whose SNAPPED direction tracks
+        are identical are pre-mixed on the host and rendered once —
+        exact by linearity (the per-direction effective FIR is the same,
+        so conv(x₁)+conv(x₂) = conv(x₁+x₂)), and the only FLOP cut left
+        on the compute-bound scene path (round-4 roofline: 78% of bf16
+        MXU peak — scheduling is exhausted). Choirs/ambiences with S
+        sources in U direction groups pay U/S of the gather+assembly+MAC
+        work; fully-distinct scenes pay one O(S·nb) host sort. The
+        deduped source count is bucketed to a multiple of scene_chunk so
+        compile count stays bounded."""
         xs = np.asarray(xs, dtype=np.float32)
         if xs.ndim != 2:
             raise ValueError(f"xs must be (S, N), got {xs.shape}")
-        xbs, N = self._blockify(xs)
-        S, nb = xbs.shape[0], xbs.shape[1]
+        S, N = xs.shape
         dirs = np.asarray(dirs, dtype=np.float32)
-        if dirs.ndim == 2:
-            if dirs.shape != (S, 2):
-                raise ValueError(f"dirs must be ({S}, 2), got {dirs.shape}")
+        static = dirs.ndim == 2
+        if static and dirs.shape != (S, 2):
+            raise ValueError(f"dirs must be ({S}, 2), got {dirs.shape}")
+        if not static and dirs.shape != (S, self._true_nb(N), 2):
+            raise ValueError(
+                f"dirs must be ({S}, {self._true_nb(N)}, 2), "
+                f"got {dirs.shape}")
+        if dedupe:
+            xs, dirs = _dedupe_sources(xs, dirs, self.config)
+        xbs, N = self._blockify(xs)
+        nb = xbs.shape[1]
+        if static:
             y = _scene_static_fn(self.table, xbs, jnp.asarray(dirs), self.config)
         else:
-            if dirs.shape != (S, self._true_nb(N), 2):
-                raise ValueError(
-                    f"dirs must be ({S}, {self._true_nb(N)}, 2), "
-                    f"got {dirs.shape}")
             dirs = self._pad_dirs(dirs, nb)
             y = _scene_fn(self.table, xbs, jnp.asarray(dirs), self.config)
         return y[:, : self._out_len(N)]
@@ -1107,6 +1154,7 @@ def render_trajectory(table: HrirTable, x, dirs,
 
 
 def render_scene(table: HrirTable, xs, dirs,
-                 config: RenderConfig = DEFAULT_CONFIG):
+                 config: RenderConfig = DEFAULT_CONFIG, dedupe: bool = True):
     """Scene render (BASELINE.json:10): sources → stereo mixdown."""
-    return BinauralRenderer(table, config).render_scene(xs, dirs)
+    return BinauralRenderer(table, config).render_scene(xs, dirs,
+                                                        dedupe=dedupe)

@@ -109,15 +109,23 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh, static_dirs=False):
 
 
 def render_scene_sharded(table: HrirTable, xs, dirs, mesh: Mesh,
-                         config: RenderConfig = DEFAULT_CONFIG):
+                         config: RenderConfig = DEFAULT_CONFIG,
+                         dedupe: bool = True):
     """Scene render sharded over sources → (2, out_len) replicated.
 
     xs: (S, N); dirs: (S, 2) or (S, n_blocks, 2). S is zero-padded up to
     a multiple of the mesh's source-shard count (silent sources mix to
-    nothing, so padding is exact, not approximate).
+    nothing, so padding is exact, not approximate). ``dedupe`` pre-mixes
+    sources with identical snapped direction tracks exactly like
+    `BinauralRenderer.render_scene` (same helper, same linearity
+    argument) before the shards are cut.
     """
+    from ..models.renderer import _dedupe_sources
+
     B = config.block_size
     xs = np.asarray(xs, dtype=np.float32)
+    if dedupe:
+        xs, dirs = _dedupe_sources(xs, np.asarray(dirs, np.float32), config)
     S, N = xs.shape
     nb = -(-N // B)
 
