@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-5 chip session (round-4 VERDICT "Next round" #1/#2/#4/#5 + the
+# advisor's budget-band check). Run when the axon TPU tunnel is back.
+# Each step is independently useful; later steps assume earlier ones
+# passed. Do NOT land source changes while any step is in flight
+# (BENCH_NOTES round-4 methodology note). Logs land in /tmp/r5_chip/.
+#
+# Round-4 claims are validated at r5 HEAD rather than the r4 commit: the
+# r5 diff (bench route proofs, vmem demotion split, _as_pcm_f32, sharded
+# scene routing, scene dedupe) does not touch any kernel or any timed
+# route of the benched workloads — verify with
+#   git diff bcf2823..HEAD -- tinaural/ops/pallas_kernels.py
+# (empty) before trusting that equivalence.
+set -x
+cd /root/repo
+mkdir -p /tmp/r5_chip
+
+# 0. tunnel sanity (fails fast if still down)
+timeout 240 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. BRIR-streaming asm-mode kernel (VERDICT #2 / ROADMAP #7): compile
+#    check, on-chip parity, serialized per-push cost vs the XLA step
+timeout 1800 python scripts/profile_r4_stream_asm.py \
+    2>&1 | tee /tmp/r5_chip/stream_asm.log
+
+# 2. budget-band compile check (advisor #2): worst 12-16 MiB-estimate
+#    shapes of every kernel family, compiled INSIDE shard_map
+timeout 1800 python scripts/check_r5_budget_band.py \
+    2>&1 | tee /tmp/r5_chip/budget_band.log
+
+# 3. BRIR chunk ladder (VERDICT #4): both partitioned kernels, incl.
+#    over-budget probes that would recalibrate ASM_BUDGET
+timeout 2400 python scripts/profile_r5_part_chunk.py \
+    2>&1 | tee /tmp/r5_chip/part_chunk.log
+
+# 4. the nine on-chip perf gates at the round-4 floors (ratchet to the
+#    r5 officials AFTER step 5 lands — VERDICT #7)
+TINAURAL_PERF=1 timeout 3600 python -m pytest tests/test_perf_regression.py -q \
+    2>&1 | tee /tmp/r5_chip/perf_gates.log
+
+# 5. fresh official capture (~40 min) — route proofs + the scene_choir
+#    A/B ride along; record in BENCH_NOTES. Pre-flight
+#    `python bench.py --smoke` on CPU FIRST if any source changed since
+#    the last smoke pass.
+timeout 7200 python bench.py 2>&1 | tee /tmp/r5_chip/official.log
