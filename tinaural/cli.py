@@ -176,7 +176,8 @@ def cmd_scene(args) -> int:
     else:
         from .models import BinauralRenderer
 
-        y = np.asarray(BinauralRenderer(table, cfg).render_scene(xs, np.asarray(dirs)))
+        y = np.asarray(BinauralRenderer(table, cfg).render_scene(
+            xs, np.asarray(dirs), dedupe=not args.no_dedupe))
     write_wav(args.output, sr, y.T, normalize=True)
     print(f"wrote {args.output}: {len(sigs)} sources, {y.shape[1]} samples")
     return 0
@@ -310,6 +311,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("scene", help="multi-source scene from a JSON spec")
     p.add_argument("scene"); p.add_argument("output")
+    p.add_argument("--no-dedupe", action="store_true",
+                   help="render duplicate-direction sources individually "
+                        "instead of pre-mixing them (exact either way)")
     _add_common(p)
     p.set_defaults(fn=cmd_scene)
 
