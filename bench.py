@@ -482,6 +482,13 @@ def w_brir() -> dict:
                   20 * np.sin(np.linspace(0, 9, nb))], axis=1).astype(np.float32))
     per = _marginal(lambda: _partitioned_fn(r.table, xb, dirs, cfg), 1, 5)
     out = {"audio_sec_per_sec": (N / SR) / per}
+    # dir_rate=4 operating point (HRTF updated every 46 ms): the round-5
+    # in-kernel unique-assembly fast path cuts the assembly chain 4×.
+    # Measured after the dir1 number in the same process (secondary
+    # extra; cross-check against an isolated run before adopting).
+    cfg4 = RenderConfig(stream_block=B, dir_rate=4)
+    per4 = _marginal(lambda: _partitioned_fn(r.table, xb, dirs, cfg4), 1, 5)
+    out["dir4_audio_sec_per_sec"] = (N / SR) / per4
     # expected route: the in-kernel-assembly partitioned kernel (default
     # part_assembly="kernel"; P=5 > 4 keeps use_mm off on this shape)
     from tinaural.models.renderer import _use_fused_partitioned
@@ -884,6 +891,7 @@ def main() -> None:
         "1src_static": get("static", "audio_sec_per_sec"),
         "1src_static_direct_fft": get("static", "direct_fft_audio_sec_per_sec"),
         "brir2048_moving": get("brir", "audio_sec_per_sec"),
+        "brir2048_moving_dir_rate4": get("brir", "dir4_audio_sec_per_sec"),
         "64src_static_scene_aggregate": get("scene", "aggregate_audio_sec_per_sec"),
         "64src_moving_scene_aggregate": get("scene_moving",
                                             "aggregate_audio_sec_per_sec"),

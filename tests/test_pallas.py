@@ -435,6 +435,63 @@ def test_inkernel_partitioned_assembly_parity(rng, taps, B):
     assert snr_db(ref, yk[:, :ref.shape[-1]]) > 60
 
 
+def test_partitioned_asm_dir_rate_unique_assembly(rng):
+    """Round-5: the partitioned asm kernel's dir_rate fast path —
+    unique-group (h, d, g) rows assembled at chunk/k and expanded k×
+    in-kernel — matches (a) the same kernel at dir_rate=1 fed the fully
+    snapped track (≥100 dB: the only difference is the tri-class
+    expansion matmul) and (b) golden on the snapped track (≥60 dB),
+    through the PRODUCTION route (_partitioned_fn at dir_rate=4, which
+    gathers only the unique rows)."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models.renderer import _partitioned_fn
+    from tinaural.ops import vmem
+    from tinaural.ops.interp import interpolate
+    from tinaural.ops.pallas_kernels import fused_partitioned_assembled
+
+    taps, B, nb, k = 2048, 512, 8, 4
+    tb = jax.device_put(load_hrir_set("synthetic", taps=taps))
+    P = -(-(taps + 64) // B)
+    assert vmem.fits_partitioned_asm(taps, B, P)
+    xb = jnp.asarray(rng.standard_normal((nb, B)).astype(np.float32))
+    dirs = np.stack([np.linspace(0, 300, nb), np.linspace(-30, 50, nb)],
+                    axis=1).astype(np.float32)
+    snapped = golden.snap_dirs(dirs, k)
+    cfg1 = RenderConfig(stream_block=B, pallas_interpret=True)
+
+    # kernel-level: unique rows + dir_rate=k == snapped rows + dir_rate=1
+    jd = jnp.asarray(snapped)
+    h1, d1, g1 = jax.vmap(lambda a, e: interpolate(tb, a, e, cfg1))(
+        jd[:, 0], jd[:, 1])
+    first = jnp.zeros((nb,), jnp.float32).at[0].set(1.0)
+    y1 = np.asarray(fused_partitioned_assembled(
+        xb, h1, d1, g1, first, taps, B, P, interpret=True,
+        precision="tri"))
+    ju = jnp.asarray(snapped[::k])
+    hu, du, gu = jax.vmap(lambda a, e: interpolate(tb, a, e, cfg1))(
+        ju[:, 0], ju[:, 1])
+    yk = np.asarray(fused_partitioned_assembled(
+        xb, hu, du, gu, first, taps, B, P, interpret=True,
+        precision="tri", dir_rate=k))
+    assert snr_db(y1, yk) > 100
+
+    # production route at dir_rate=4 vs golden on the snapped track
+    cfgk = RenderConfig(stream_block=B, pallas_interpret=True, dir_rate=k)
+    yprod = np.asarray(_partitioned_fn(tb, xb, jnp.asarray(dirs), cfgk))
+    gs = golden.GoldenStream(tb, RenderConfig(stream_block=B))
+    x = np.asarray(xb).reshape(-1)
+    ref = np.concatenate([gs.push(x[b * B:(b + 1) * B].astype(np.float64),
+                                  float(snapped[b, 0]),
+                                  float(snapped[b, 1]))
+                          for b in range(nb)], -1)
+    assert snr_db(ref, yprod[:, :ref.shape[-1]]) > 60
+    # misaligned dir_rate inputs are rejected loudly, never mis-assembled
+    with pytest.raises(ValueError, match="dir_rate"):
+        fused_partitioned_assembled(xb, hu[:1], du[:1], gu[:1], first,
+                                    taps, B, P, interpret=True,
+                                    dir_rate=k)
+
+
 def test_stream_asm_mode_brir_matches_golden(rng):
     """BRIR streaming: 2048-tap per-listener filters route through the
     fused streaming step's IN-KERNEL assembly mode (the zoom matrices it

@@ -1619,7 +1619,7 @@ def _rows_to_planes(precision, chunk: int, n1L: int, GhL: int, taps_p: int,
 
 
 def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
-                            P: int, precision, chunk: int,
+                            P: int, precision, chunk: int, dir_rate: int,
                             n1L: int, GhL: int, T_pad: int, taps_p: int,
                             xb_ref, h0_ref, h1_ref, dg_ref, first_ref,
                             fwr, fwi, ftr, fti, fmr, fmi,
@@ -1628,8 +1628,16 @@ def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
                             flwr, flwi, flmr, flmi, fltr, flti, trig_s,
                             y0_o, y1_o, xcar, dcar, hrcar, hicar):
     """One grid step = `chunk` blocks: in-kernel filter assembly straight
-    from the (h, d, g) rows, then the shared partitioned conv body."""
+    from the (h, d, g) rows, then the shared partitioned conv body.
+
+    ``dir_rate`` = k > 1 (RenderConfig.dir_rate on SNAPPED direction
+    tracks): the h/d/g refs carry only the chunk/k UNIQUE rows, the
+    whole assembly chain runs at chunk/k, and the assembled H rows are
+    expanded k× by sublane repeat (`_expand_rows`) before the conv body
+    — whose own previous-row crossfade shift then behaves bit-exactly
+    like dir_rate=1 on the snapped track (the defined semantics)."""
     dot = _kdot(precision)
+    cu = chunk // dir_rate
     # d/g ride the dg vector — lanes extracted by masked reductions
     # (direct lane slices at offsets 1..3 hit the Mosaic "offset
     # mismatch on non-concat dimension" lowering bug)
@@ -1638,13 +1646,15 @@ def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
     colv = lambda k: jnp.sum(jnp.where(lane == k, dgv, 0.0), axis=1,
                              keepdims=True)
     ar, ai, br, bi = _rows_to_planes(
-        precision, chunk, n1L, GhL, taps_p,
+        precision, cu, n1L, GhL, taps_p,
         h0_ref[...], h1_ref[...], colv(0), colv(1), colv(2), colv(3),
         flwr, flwi, flmr, flmi, fltr, flti, trig_s)
     Hr, Hi = _asm_filters(
-        dot, chunk, P, B, n1p, Ghp, n1L, GhL, T_pad,
+        dot, cu, P, B, n1p, Ghp, n1L, GhL, T_pad,
         ar, ai, br, bi,
         fwr, fwi, ftr, fti, fmr, fmi, lwr, lwi, lfr, lfi, ltr, lti)
+    Hr = _expand_rows(Hr, dir_rate, chunk, precision)
+    Hi = _expand_rows(Hi, dir_rate, chunk, precision)
     _partitioned_conv_core(
         crossfade, n1p, Ghp, B, P, dot, chunk,
         xb_ref[...], Hr, Hi, first_ref[...] if crossfade else None,
@@ -1653,9 +1663,12 @@ def _partitioned_asm_kernel(crossfade: bool, n1p: int, Ghp: int, B: int,
 
 
 def partitioned_asm_vmem_bytes(taps: int, B: int, P: int,
-                               chunk: int | None = None) -> int:
+                               chunk: int | None = None,
+                               dir_rate: int = 1) -> int:
     """VMEM estimate of the assembling partitioned kernel (constants +
-    per-grid-step working set + carries), for the eligibility gate."""
+    per-grid-step working set + carries), for the eligibility gate.
+    ``dir_rate`` = k > 1 runs the assembly stage at chunk/k unique rows
+    and adds the k×-expanded H rows the conv body consumes."""
     from ..ops.filters import DELAY_PAD, next_pow2
 
     T_pad = taps + DELAY_PAD
@@ -1667,24 +1680,27 @@ def partitioned_asm_vmem_bytes(taps: int, B: int, P: int,
     taps_p = _round_up(taps, 128)
     FsL = GhL * 128
     ch = chunk if chunk is not None else _PART_CHUNK
+    cu = ch // max(dir_rate, 1)
+    asm_rows = cu if dir_rate > 1 else ch
     consts = (8 * 128 * 128 + 4 * max(n1L, 8) * 128
               + 4 * max(n1p, 8) * 128 + 8 * FsL) * 4
-    asm_work = ch * (2 * taps_p + 128       # h rows + dg vector
-                     + 8 * GhL * 128        # fwd-L tiles + unpacked ears
-                     + 4 * GhL * 128        # ramped planes
-                     + 4 * n1L * 128 * 2    # inverse F1 + F2/zg tiles
-                     + 6 * Fs2 * 2          # per-seg fwd transients ×2
-                     + 2 * P * 2 * Fs2) * 4  # assembled H rows
+    asm_work = asm_rows * (2 * taps_p + 128  # h rows + dg vector
+                           + 8 * GhL * 128   # fwd-L tiles + unpacked ears
+                           + 4 * GhL * 128   # ramped planes
+                           + 4 * n1L * 128 * 2  # inverse F1 + F2/zg tiles
+                           + 6 * Fs2 * 2     # per-seg fwd transients ×2
+                           + 2 * P * 2 * Fs2) * 4  # assembled H rows
+    expand = (ch * 2 * P * 2 * Fs2 * 4) if dir_rate > 1 else 0
     conv_work = ch * (2 * B * 3 + 4 * n1p * 128 + 6 * Fs2
                       + 2 * P * 2 * Fs2     # crossfade prev rows
                       + 16 * Fs2 + 4 * 2 * B + 2 * B) * 4
     carries = (8 * B + max(8, P - 1) * 2 * Fs2 + 2 * 8 * P * 2 * Fs2) * 4
-    return consts + asm_work + conv_work + carries
+    return consts + asm_work + expand + conv_work + carries
 
 
 @partial(jax.jit,
          static_argnames=("taps", "B", "P", "crossfade", "interpret",
-                          "precision", "chunk"))
+                          "precision", "chunk", "dir_rate"))
 def fused_partitioned_assembled(xb: jax.Array, h: jax.Array,
                                 d: jax.Array, g: jax.Array,
                                 first: jax.Array,
@@ -1692,18 +1708,27 @@ def fused_partitioned_assembled(xb: jax.Array, h: jax.Array,
                                 crossfade: bool = True,
                                 interpret: bool = False,
                                 precision=jax.lax.Precision.HIGHEST,
-                                chunk: int | None = None):
+                                chunk: int | None = None,
+                                dir_rate: int = 1):
     """Batched partitioned convolution with IN-KERNEL filter assembly.
 
-    xb: (nb, B) raw blocks; h: (nb, 2, taps) interpolated HRIR/BRIR
-    shapes; d, g: (nb, 2) per-ear delays/gains; first: (nb,). →
-    (2, nb·B) — identical output to `fused_partitioned_step` fed the
-    XLA-assembled partitions (same linear map; derivation validated to
-    1e-14, scripts/derive_partitioned_inkernel_assembly.py). The whole
+    xb: (nb, B) raw blocks; h: (nb/dir_rate, 2, taps) interpolated
+    HRIR/BRIR shapes; d, g: (nb/dir_rate, 2) per-ear delays/gains;
+    first: (nb,). → (2, nb·B) — identical output to
+    `fused_partitioned_step` fed the XLA-assembled partitions (same
+    linear map; derivation validated to 1e-14,
+    scripts/derive_partitioned_inkernel_assembly.py). The whole
     assembly chain — rfft_L(h) (ear-packed four-step), the delay ramp
     (`_ramp_cos_sin` at folded bins) and gain, the inverse-L back to
     the effective filter, its truncation, and the P per-partition 2B
     transforms — runs in VMEM; XLA supplies only the gathered rows.
+
+    ``dir_rate`` = k > 1 (round-5): callers pass SNAPPED direction
+    tracks' UNIQUE group rows only (h/d/g at block indices 0, k, 2k, …)
+    and the kernel assembles chunk/k filters per grid step, expanding
+    them k× before the conv body — the partitioned-route analog of the
+    block-render kernel's unique-filter fast path. Requires k | nb,
+    k | chunk, and chunk/k ≥ 8 (f32 tile row minimum).
     """
     from ..ops.filters import DELAY_PAD, next_pow2
 
@@ -1726,17 +1751,28 @@ def fused_partitioned_assembled(xb: jax.Array, h: jax.Array,
     trig_s = _ramp_trig_scrambled(L)
 
     ch = chunk if chunk is not None else _PART_CHUNK
+    k = dir_rate
+    cu = ch // max(k, 1)
+    if k > 1 and (nb % k or ch % k or cu % 8 or h.shape[0] != nb // k):
+        raise ValueError(
+            f"fused_partitioned_assembled: dir_rate={k} needs k | nb "
+            f"({nb}), k | chunk ({ch}), chunk/k ≥ 8 and h rows = nb/k "
+            f"(got {h.shape[0]})")
     nbp = _round_up(max(nb, 1), ch)
     pb = nbp - nb
+    nb_u = nb // k
+    pbu = nbp // k - nb_u
     pad = lambda z: jnp.pad(z, [(0, pb)] + [(0, 0)] * (z.ndim - 1))
     fm = jnp.pad(first.astype(jnp.float32), [(0, pb)],
                  constant_values=1.0)[..., None]
-    hp = jnp.pad(h, [(0, pb), (0, 0), (0, taps_p - taps)])
-    dgv = jnp.zeros((nbp, 128), jnp.float32)
-    dgv = dgv.at[:nb, 0:2].set(d)
-    dgv = dgv.at[:nb, 2:4].set(g)
+    hp = jnp.pad(h, [(0, pbu), (0, 0), (0, taps_p - taps)])
+    dgv = jnp.zeros((nbp // k, 128), jnp.float32)
+    dgv = dgv.at[:nb_u, 0:2].set(d)
+    dgv = dgv.at[:nb_u, 2:4].set(g)
 
     rowb = lambda n: pl.BlockSpec((ch, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    rowu = lambda n: pl.BlockSpec((cu, n), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -1747,9 +1783,9 @@ def fused_partitioned_assembled(xb: jax.Array, h: jax.Array,
                                    trig_s)]
     y0, y1 = pl.pallas_call(
         partial(_partitioned_asm_kernel, crossfade, n1p, Ghp, B, P,
-                precision, ch, n1L, GhL, T_pad, taps_p),
+                precision, ch, k, n1L, GhL, T_pad, taps_p),
         grid=(nbp // ch,),
-        in_specs=[rowb(B), rowb(taps_p), rowb(taps_p), rowb(128), rowb(1)]
+        in_specs=[rowb(B), rowu(taps_p), rowu(taps_p), rowu(128), rowb(1)]
         + [const(a) for a in cj],
         out_specs=(rowb(B), rowb(B)),
         out_shape=(jax.ShapeDtypeStruct((nbp, B), jnp.float32),
