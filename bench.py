@@ -321,8 +321,9 @@ def w_scene_choir() -> dict:
     """64 moving sources sharing 8 direction tracks (choir/ambience) —
     the `render_scene(dedupe=True)` lever: identical snapped tracks are
     pre-mixed on the host (exact by linearity) so the kernel renders 8
-    sources instead of 64. Both regimes are timed in one process (the
-    trustworthy A/B form per BENCH_NOTES); aggregates count the FULL 64
+    sources instead of 64. Both regimes are timed INTERLEAVED in one
+    process (`marginal_cost_ab` — the only trustworthy A/B form on this
+    tunnel per BENCH_NOTES); aggregates count the FULL 64
     sources' audio either way — dedupe delivers the same scene for ~1/8
     the gather+assembly+MAC work. Round-4 roofline said the moving scene
     is compute-bound at 78% of bf16 peak, so only FLOP cuts move it."""
@@ -344,17 +345,31 @@ def w_scene_choir() -> dict:
     dirs = tracks[rng.integers(0, U, S)]
 
     xs_u, dirs_u = _dedupe_sources(xs, dirs, cfg)
+    Ud = int(xs_u.shape[0])
     xd = jax.device_put(xs_u.reshape(-1, nb, B))
     dd = jax.device_put(dirs_u)
     xf = jax.device_put(xs.reshape(S, nb, B))
     df = jax.device_put(dirs)
-    per_d = _marginal(lambda: _scene_fn(r.table, xd, dd, cfg), 1, 5)
-    per_f = _marginal(lambda: _scene_fn(r.table, xf, df, cfg), 1, 5)
+    calls = {"dedup": lambda: _scene_fn(r.table, xd, dd, cfg),
+             "full": lambda: _scene_fn(r.table, xf, df, cfg)}
+    if PRIME:
+        for c in calls.values():
+            _fence(c())
+        per = {n: float("inf") for n in calls}
+    else:
+        from tinaural.utils.profiling import marginal_cost_ab
+
+        per = marginal_cost_ab(calls, k1=1, k2=5)
+    # both legs must gate onto the single-launch kernel (they differ in
+    # S, which the gate consults) or the A/B compares routes, not FLOPs
+    rd = _render_route(cfg, r.table, B, Ud)
+    rf = _render_route(cfg, r.table, B, S)
     return {
-        "dedup_rendered_sources": int(xs_u.shape[0]),
-        "aggregate_audio_sec_per_sec": S * (N / SR) / per_d,
-        "nodedup_aggregate_audio_sec_per_sec": S * (N / SR) / per_f,
-        "route": _render_route(cfg, r.table, B, int(xs_u.shape[0])),
+        "dedup_rendered_sources": Ud,
+        "aggregate_audio_sec_per_sec": S * (N / SR) / per["dedup"],
+        "nodedup_aggregate_audio_sec_per_sec": S * (N / SR) / per["full"],
+        "route": _route("fused_render_dedup+full",
+                        rd["route_ok"] and rf["route_ok"]),
     }
 
 
@@ -490,18 +505,21 @@ def w_brir() -> dict:
     per4 = _marginal(lambda: _partitioned_fn(r.table, xb, dirs, cfg4), 1, 5)
     out["dir4_audio_sec_per_sec"] = (N / SR) / per4
     # expected route: the in-kernel-assembly partitioned kernel (default
-    # part_assembly="kernel"; P=5 > 4 keeps use_mm off on this shape)
+    # part_assembly="kernel"; P=5 > 4 keeps use_mm off on this shape),
+    # and for the dir4 extra additionally the unique-assembly fast path
+    # (k_dir silently resets to 1 when 4 ∤ nb — the proof must catch
+    # that, since no demotion fires for it)
     from tinaural.models.renderer import _use_fused_partitioned
     from tinaural.ops import vmem
     from tinaural.ops.filters import DELAY_PAD
 
     taps = r.table.h.shape[-1]
     P = -(-(taps + DELAY_PAD) // B)
-    out["route"] = _route(
-        "partitioned_asm",
-        _use_fused_partitioned(cfg, B, P)
-        and cfg.part_assembly == "kernel"
-        and vmem.fits_partitioned_asm(taps, B, P))
+    asm_ok = (_use_fused_partitioned(cfg, B, P)
+              and cfg.part_assembly == "kernel"
+              and vmem.fits_partitioned_asm(taps, B, P))
+    out["route"] = _route("partitioned_asm+dir4_unique",
+                          asm_ok and nb % 4 == 0)
     # kernel-only MAC model (XLA-side partition assembly not counted):
     # fwd four-step stage 3 + the crossfade pair of inverse four-steps
     n1p = (2 * B) // 128
@@ -806,11 +824,14 @@ def main() -> None:
         # before the error line appears. 300 s per attempt is ~10× the
         # healthy-tunnel init time. Round-4 lesson (VERDICT weak #1): the
         # probe was ONE-SHOT, and a transient tunnel flap zeroed the
-        # round's entire official record — so retry with backoff over
-        # ~12 min before declaring the round dead, and say how long we
-        # tried. The memory-documented failure mode (transient
-        # FAILED_PRECONDITION / stalls that vanish on a fresh process)
-        # makes each retry a fresh subprocess.
+        # round's entire official record — so retry with backoff before
+        # declaring the round dead, and say how long we tried. Window:
+        # ~12 min of backoff when probes FAIL fast, up to ~37 min when
+        # the tunnel HANGS (5 × 300 s subprocess timeouts on top — the
+        # documented hang mode is exactly why each probe is capped). The
+        # memory-documented failure mode (transient FAILED_PRECONDITION
+        # / stalls that vanish on a fresh process) makes each retry a
+        # fresh subprocess.
         t_probe = time.perf_counter()
         last_err = None
         for attempt, backoff in enumerate((0, 60, 120, 240, 300), 1):

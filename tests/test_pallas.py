@@ -491,6 +491,30 @@ def test_partitioned_asm_dir_rate_unique_assembly(rng):
                                     taps, B, P, interpret=True,
                                     dir_rate=k)
 
+    # grid-step boundary: nb=64 = 2 launch chunks at the default 32 —
+    # the expanded-H crossfade carry must hand off across grid steps
+    # (round-5 review finding: the BRIR-shape case above never crosses
+    # one). Cheaper shape so interpret stays fast.
+    taps2, B2, nb2 = 512, 256, 64
+    tb2 = jax.device_put(load_hrir_set("synthetic", taps=taps2))
+    P2 = -(-(taps2 + 64) // B2)
+    cfg2 = RenderConfig(stream_block=B2, pallas_interpret=True)
+    xb2 = jnp.asarray(rng.standard_normal((nb2, B2)).astype(np.float32))
+    d2 = np.stack([np.linspace(0, 350, nb2), np.linspace(-40, 80, nb2)],
+                  axis=1).astype(np.float32)
+    sn2 = jnp.asarray(golden.snap_dirs(d2, k))
+    h2, dd2, g2 = jax.vmap(lambda a, e: interpolate(tb2, a, e, cfg2))(
+        sn2[:, 0], sn2[:, 1])
+    first2 = jnp.zeros((nb2,), jnp.float32).at[0].set(1.0)
+    ya = np.asarray(fused_partitioned_assembled(
+        xb2, h2, dd2, g2, first2, taps2, B2, P2, interpret=True,
+        precision="tri"))
+    hu2, du2, gu2 = jax.tree.map(lambda z: z[::k], (h2, dd2, g2))
+    yb = np.asarray(fused_partitioned_assembled(
+        xb2, hu2, du2, gu2, first2, taps2, B2, P2, interpret=True,
+        precision="tri", dir_rate=k))
+    assert snr_db(ya, yb) > 100
+
 
 def test_stream_asm_mode_brir_matches_golden(rng):
     """BRIR streaming: 2048-tap per-listener filters route through the

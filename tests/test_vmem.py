@@ -99,6 +99,15 @@ def test_is_mosaic_failure_classification():
     assert vmem.is_hbm_oom(hbm)
     assert not vmem.is_hbm_oom(RuntimeError("RESOURCE_EXHAUSTED: vmem"))
     assert not vmem.is_hbm_oom(ValueError("bad shape"))
+    # generic allocator OOM (no memory space named) = HBM class too
+    assert vmem.is_hbm_oom(RuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory allocating 12884901888 bytes"))
+    # exhaustion of any OTHER named on-chip space (smem/cmem/semaphore)
+    # stays a demotable lowering failure — never the HBM crash path
+    smem = RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                        "space smem while allocating")
+    assert vmem.is_mosaic_failure(smem)
+    assert not vmem.is_hbm_oom(smem)
 
 
 def test_hbm_oom_reraises_never_demotes():

@@ -188,14 +188,23 @@ def is_mosaic_failure(exc: BaseException) -> bool:
         return False
     text = f"{type(exc).__name__}: {exc}"
     needles = ("Mosaic", "mosaic", "VMEM", "vmem", "Pallas", "pallas")
-    return any(n in text for n in needles)
+    if any(n in text for n in needles):
+        return True
+    # Kernel-side exhaustion of any named ON-CHIP memory space (smem,
+    # cmem, semaphore mem, ...) is a lowering-resource failure and must
+    # keep demoting; only the device-global allocator's HBM space means
+    # "the workload itself is too big" (round-5 review finding: the
+    # first split classified a smem exhaustion as an HBM OOM and turned
+    # the previously-working demotion into a crash with a wrong
+    # diagnostic).
+    return "memory space" in text and "hbm" not in text.lower()
 
 
 def is_hbm_oom(exc: BaseException) -> bool:
-    """A device out-of-memory that is NOT a Mosaic/VMEM lowering failure:
-    the workload itself oversubscribes HBM. Never demoted — re-raised
-    with a diagnostic so the caller shrinks the workload instead of
-    inheriting a silent, sticky slow route."""
+    """A device out-of-memory that is NOT a Mosaic/kernel-memory-space
+    lowering failure: the workload itself oversubscribes HBM. Never
+    demoted — re-raised with a diagnostic so the caller shrinks the
+    workload instead of inheriting a silent, sticky slow route."""
     if is_mosaic_failure(exc) or isinstance(exc, ValueError):
         return False
     text = f"{type(exc).__name__}: {exc}"

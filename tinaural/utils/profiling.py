@@ -111,3 +111,40 @@ def marginal_cost(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
     if len(pos) >= 2:
         return float(np.median(pos))
     return float(min(t2s)) / k2
+
+
+def marginal_cost_ab(calls: dict, k1: int = 2, k2: int = 12,
+                     reps: int = 5) -> dict:
+    """INTERLEAVED `marginal_cost` for an A/B (or A/B/C…) comparison:
+    each rep times every leg's (k1, k2) pair back to back before the
+    next rep starts, so slow in-process drift (allocator/tunnel ramp —
+    the documented up-to-4× swing) hits all legs equally. Sequential
+    per-leg medians are NOT a trustworthy A/B on this tunnel
+    (docs/BENCH_NOTES.md "Measurement reality"); this is. Returns
+    {name: marginal seconds} with the same positive-median /
+    conservative-fallback estimator as `marginal_cost`."""
+
+    def batch(call, k):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(k):
+            y = call()
+        fence(y)
+        return time.perf_counter() - t0
+
+    for c in calls.values():  # compile + warm + settle, per leg
+        batch(c, 1), batch(c, 1), batch(c, k1), batch(c, k2)
+    ests = {n: [] for n in calls}
+    t2s = {n: [] for n in calls}
+    for _ in range(reps):
+        for n, c in calls.items():
+            t1 = batch(c, k1)
+            t2 = batch(c, k2)
+            ests[n].append((t2 - t1) / (k2 - k1))
+            t2s[n].append(t2)
+    out = {}
+    for n in calls:
+        pos = [e for e in ests[n] if e > 0]
+        out[n] = (float(np.median(pos)) if len(pos) >= 2
+                  else float(min(t2s[n])) / k2)
+    return out
