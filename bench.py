@@ -651,6 +651,17 @@ def w_capacity() -> dict:
     per_brir = _push_many_cost(bsb, mb, maz, mel)
     out[f"sustained_brir_push_ms_{Sb}"] = per_brir * 1e3
     out["brir_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir
+
+    # BRIR serving at stream_update_rate=4 (round 5): filters reassemble
+    # every 4th push (still a 23 ms head-tracking cadence); the held
+    # pushes run the no-assembly hold kernel, skipping the in-kernel
+    # FFT-assembly chain that dominates the k=1 per-push cost. Same
+    # staged inputs — held pushes ignore their directions by contract.
+    bsb4 = BatchedStream(
+        bt, Sb, RenderConfig(stream_block=B, stream_update_rate=4))
+    per_brir4 = _push_many_cost(bsb4, mb, maz, mel)
+    out[f"sustained_brir_k4_push_ms_{Sb}"] = per_brir4 * 1e3
+    out["brir_k4_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir4
     from tinaural.ops import vmem
 
     Smax = 16 if SMOKE else 1024
@@ -936,6 +947,10 @@ def main() -> None:
             "capacity", "realtime_listeners_per_chip"),
         "serving_brir2048_listeners_per_chip": get(
             "capacity", "brir_realtime_listeners_per_chip"),
+        # round 5: stream_update_rate=4 — held pushes skip the in-kernel
+        # filter-assembly chain (RenderConfig.stream_update_rate)
+        "serving_brir2048_k4_listeners_per_chip": get(
+            "capacity", "brir_k4_realtime_listeners_per_chip"),
         "serving_listeners_per_block_dispatch": get(
             "capacity", "realtime_listeners_per_block_dispatch"),
         "oneshot_ms_incl_tunnel_rtt": get("traj", "oneshot_ms_incl_rtt"),

@@ -23,6 +23,13 @@ timeout 240 python -c "import jax; print(jax.devices())" || exit 1
 timeout 1800 python scripts/profile_r4_stream_asm.py \
     2>&1 | tee /tmp/r5_chip/stream_asm.log
 
+# 1b. stream_update_rate A/B (round-5 streams lever): push_many at
+#     k=1/2/4 on 2048-tap asm-mode streams — on-chip parity vs the
+#     snapped-track equivalence + per-push cost; adopt a bench extra
+#     if the hold-step floor is materially under the k=1 cost
+timeout 1800 python scripts/profile_r5_update_rate.py \
+    2>&1 | tee /tmp/r5_chip/update_rate.log
+
 # 2. budget-band compile check (advisor #2): worst 12-16 MiB-estimate
 #    shapes of every kernel family, compiled INSIDE shard_map
 timeout 1800 python scripts/check_r5_budget_band.py \

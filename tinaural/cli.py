@@ -187,7 +187,8 @@ def cmd_stream(args) -> int:
     """Simulate the real-time streaming loop: push the WAV block by block
     through the streaming renderer while the head rotates."""
     table = load_hrir_set(args.hrir)
-    cfg = _config(args).replace(stream_block=args.stream_block)
+    cfg = _config(args).replace(stream_block=args.stream_block,
+                                stream_update_rate=args.update_rate)
     sr, x = _load_mono(args.input, table)
     B = cfg.stream_block
     nb = len(x) // B
@@ -199,6 +200,8 @@ def cmd_stream(args) -> int:
 
         s = golden.GoldenStream(table, cfg)
         outs = [s.push(x[i * B : (i + 1) * B], float(az[i]), args.el)
+                if i % args.update_rate == 0
+                else s.push_held(x[i * B : (i + 1) * B])
                 for i in range(nb)]
         y = np.concatenate(outs, axis=1)
     else:
@@ -320,6 +323,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("stream", help="simulated real-time streaming render")
     p.add_argument("input"); p.add_argument("output")
     p.add_argument("--stream-block", type=int, default=256)
+    p.add_argument("--update-rate", type=int, default=1, choices=(1, 2, 4, 8),
+                   help="reassemble the HRTF filter only every k-th block; "
+                        "held blocks render under the carried filter "
+                        "(RenderConfig.stream_update_rate)")
     p.add_argument("--start-az", type=float, default=0.0)
     p.add_argument("--end-az", type=float, default=360.0)
     p.add_argument("--el", type=float, default=0.0)

@@ -100,6 +100,25 @@ class RenderConfig:
         is path-speed-dependent: the filter lags the true direction by
         at most (dir_rate−1)·block/sr seconds. Must divide into the
         fused kernels' 32-row chunk: one of 1, 2, 4, 8.
+      stream_update_rate: within a streaming burst (`push_many` /
+        `render_offline`), reassemble each stream's filter partitions
+        only at burst-local pushes 0, k, 2k, …; the pushes in between
+        render under the CARRIED partitions (`StreamState.prev_h`) with
+        no crossfade blend — the filter is unchanged, so blending two
+        identical outputs would only add rounding. SEMANTICS (defined in
+        the golden oracle first — `GoldenStream.push_held`): equivalent
+        to update_rate=1 on the direction track snapped along the push
+        axis to each k-group's first value, up to one f64 rounding of
+        the removed identical-filter blend (oracle test asserts ≤1e-12).
+        This is the streams analog of ``dir_rate``: at block 256 /
+        44.1 kHz, k=4 updates head rotation every 23.2 ms — above
+        typical head-tracker rates — while skipping the per-push
+        assembly work, which DOMINATES long-filter (BRIR) serving where
+        assembly is a full in-kernel FFT chain per push. Single-block
+        `push` always updates (the knob amortises within bursts; every
+        burst begins with an update, so resumed/checkpointed streams
+        never render a stale filter longer than k−1 blocks). One of
+        1 (default), 2, 4, 8.
       part_assembly: where the partitioned (BRIR) renderer assembles its
         per-block filter partitions when the fft chain is in effect —
         ``"kernel"`` (default; the kernel receives the raw gathered
@@ -130,6 +149,7 @@ class RenderConfig:
     fft_impl: str = "xla"
     out_length: str = "full"
     dir_rate: int = 1
+    stream_update_rate: int = 1
     part_assembly: str = "kernel"
 
     def __post_init__(self):
@@ -169,6 +189,10 @@ class RenderConfig:
         if self.dir_rate not in (1, 2, 4, 8):
             raise ValueError(
                 f"dir_rate must be one of 1, 2, 4, 8, got {self.dir_rate}")
+        if self.stream_update_rate not in (1, 2, 4, 8):
+            raise ValueError(
+                f"stream_update_rate must be one of 1, 2, 4, 8, "
+                f"got {self.stream_update_rate}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

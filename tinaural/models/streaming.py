@@ -147,6 +147,67 @@ def _step_core(table: HrirTable, state: StreamState, xb: jax.Array,
     return _step_core_xla(table, state, xb, az, el, config)
 
 
+def _fused_batch_hold(state: StreamState, xbs: jax.Array,
+                      config: RenderConfig):
+    """Batched HOLD-filter step as one Pallas launch: FDL advance + MAC
+    under the carried filter partitions, no assembly (the
+    `stream_update_rate` step between filter updates). prev_h is
+    unchanged, so the kernel doesn't write it back — the carried input
+    planes re-enter the new state directly."""
+    from ..models.renderer import _kernel_precision
+    from ..ops.pallas_kernels import fused_stream_hold
+
+    y, fr, fi = fused_stream_hold(
+        xbs, state.prev_in, state.fdl_re, state.fdl_im,
+        state.prev_h_re, state.prev_h_im, config.stream_block,
+        interpret=config.pallas_interpret,
+        precision=_kernel_precision(config))
+    S = xbs.shape[0]
+    return StreamState(prev_in=xbs, fdl_re=fr, fdl_im=fi,
+                       prev_h_re=state.prev_h_re, prev_h_im=state.prev_h_im,
+                       started=jnp.ones((S,), jnp.float32)), y
+
+
+def _hold_core_xla(state: StreamState, xb: jax.Array, config: RenderConfig):
+    """Hold-filter XLA step — mirrors `GoldenStream.push_held` in f32:
+    advance the FDL one block and render under the carried partitions.
+    No crossfade: the filter is unchanged, so the blend would mix two
+    identical outputs (and cost a second MAC + irfft)."""
+    B = config.stream_block
+    X = jnp.fft.rfft(jnp.concatenate([state.prev_in, xb]))
+    prev_fdl = jax.lax.complex(state.fdl_re, state.fdl_im)
+    fdl = jnp.concatenate([X[None, :], prev_fdl[:-1]], axis=0)
+    H = jax.lax.complex(state.prev_h_re, state.prev_h_im)
+    Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
+    if config.fft_pack == "both":
+        from ..ops.fftpack import irfft_pair
+
+        y0, y1 = irfft_pair(Y[0], Y[1], 2 * B, impl=config.fft_impl)
+        y = jnp.stack([y0[B:], y1[B:]], axis=0)
+    else:
+        y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]
+    return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
+                       prev_h_re=state.prev_h_re, prev_h_im=state.prev_h_im,
+                       started=jnp.ones((), dtype=jnp.float32)), y
+
+
+def _hold_core(table: HrirTable, state: StreamState, xb: jax.Array,
+               config: RenderConfig):
+    if _use_fused_step(table, config, 1):
+        st1 = jax.tree.map(lambda x: x[None], state)
+        new_state, y = _fused_batch_hold(st1, xb[None], config)
+        return jax.tree.map(lambda x: x[0], new_state), y[0]
+    return _hold_core_xla(state, xb, config)
+
+
+def _batch_hold_core(table: HrirTable, state: StreamState, xbs: jax.Array,
+                     config: RenderConfig):
+    if _use_fused_step(table, config, xbs.shape[0]):
+        return _fused_batch_hold(state, xbs, config)
+    return jax.vmap(
+        lambda st, xb: _hold_core_xla(st, xb, config))(state, xbs)
+
+
 def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
                    az, el, config: RenderConfig):
     B = config.stream_block
@@ -204,14 +265,33 @@ _step_fn = with_xla_fallback(_step_fn_core)
 
 
 def _scan_core(table, state, xbs, dirs, config):
-    """Offline scan over blocks: xbs (nb, B), dirs (nb, 2) → (2, nb·B)."""
+    """Offline scan over blocks: xbs (nb, B), dirs (nb, 2) → (2, nb·B).
+
+    With ``config.stream_update_rate`` k > 1, only every k-th block of
+    the scan reassembles the filter; the rest take the hold step
+    (`_hold_core` — carried partitions, no crossfade), per the golden
+    `push`/`push_held` schedule."""
+    k = config.stream_update_rate
 
     def body(st, inp):
         xb, dr = inp
         st, y = _step_core(table, st, xb, dr[0], dr[1], config)
         return st, y
 
-    state, ys = jax.lax.scan(body, state, (xbs, dirs))  # ys: (nb, 2, B)
+    if k == 1:
+        state, ys = jax.lax.scan(body, state, (xbs, dirs))  # ys: (nb, 2, B)
+    else:
+
+        def body_k(st, inp):
+            i, xb, dr = inp
+            return jax.lax.cond(
+                i % k == 0,
+                lambda s: _step_core(table, s, xb, dr[0], dr[1], config),
+                lambda s: _hold_core(table, s, xb, config),
+                st)
+
+        idx = jnp.arange(xbs.shape[0], dtype=jnp.int32)
+        state, ys = jax.lax.scan(body_k, state, (idx, xbs, dirs))
     return state, jnp.moveaxis(ys, 0, 1).reshape(2, -1)
 
 
@@ -242,11 +322,30 @@ def _batch_scan_core(table, state, xbs, azs, els, config):
     result is bit-identical to K sequential pushes.
     """
 
+    k = config.stream_update_rate
+
     def body(st, inp):
         xb, az, el = inp
         return _batch_step_core(table, st, xb, az, el, config)
 
-    return jax.lax.scan(body, state, (xbs, azs, els))
+    if k == 1:
+        return jax.lax.scan(body, state, (xbs, azs, els))
+
+    # stream_update_rate: burst-local schedule — assemble at pushes
+    # 0, k, 2k, …, hold in between (directions at held pushes are
+    # ignored; see RenderConfig.stream_update_rate for the golden-first
+    # snapped-track equivalence). Every burst starts with an update, so
+    # the schedule needs no counter in the public StreamState.
+    def body_k(st, inp):
+        i, xb, az, el = inp
+        return jax.lax.cond(
+            i % k == 0,
+            lambda s: _batch_step_core(table, s, xb, az, el, config),
+            lambda s: _batch_hold_core(table, s, xb, config),
+            st)
+
+    idx = jnp.arange(xbs.shape[0], dtype=jnp.int32)
+    return jax.lax.scan(body_k, state, (idx, xbs, azs, els))
 
 
 _batch_scan_fn = with_xla_fallback(_batch_scan_core)
@@ -314,6 +413,12 @@ class BatchedStream:
         magnitude under that overhead on a network-attached host (see
         docs/BENCH_NOTES.md round 4). Latency rises to K blocks; pick K
         per deployment's latency budget.
+
+        With ``config.stream_update_rate`` k > 1, filters reassemble
+        only at burst-local pushes 0, k, 2k, … — the rest render under
+        the carried partitions (their azs/els are ignored), skipping
+        the per-push assembly that dominates long-filter (BRIR)
+        serving. See `RenderConfig.stream_update_rate`.
         """
         blocks, azs, els = _validate_many(
             blocks, azs, els, self.n_streams, self.config.stream_block)

@@ -1936,7 +1936,8 @@ def _stream_conv_core(crossfade: bool, Sp: int, B: int, F2p: int, P: int,
         fr, fi = xre, xim
     nf_re[...] = fr
     nf_im[...] = fi
-    nh_out[...] = H
+    if nh_out is not None:  # hold-filter step: carried H is unchanged
+        nh_out[...] = H
 
     fr2 = jnp.concatenate([fr, fr], axis=0)  # FDL copied per ear row group
     fi2 = jnp.concatenate([fi, fi], axis=0)
@@ -2046,6 +2047,41 @@ def _stream_step_asm_kernel(crossfade: bool, Sp: int, B: int, F2p: int,
     _stream_conv_core(crossfade, Sp, B, F2p, P, dotp,
                       prev_in, xb_ref, fdl_re, fdl_im, ph_ref, started_ref,
                       H, dft_ref, di_ref, y_out, nf_re, nf_im, nh_out)
+
+
+def _stream_hold_kernel(Sp: int, B: int, F2p: int, P: int, precision,
+                        prev_in, xb_ref, fdl_re, fdl_im, ph_ref,
+                        dft_ref, di_ref, y_out, nf_re, nf_im):
+    """Hold-filter streaming step: NO assembly — the carried filter
+    partitions (`StreamState.prev_h`) ARE the filter. Runs the shared
+    post-assembly conv core with crossfade off (the filter is unchanged
+    between pushes, so the blend would mix two identical outputs) and
+    no prev_h write-back (it is unchanged — the caller re-carries the
+    input planes); the golden semantics are `GoldenStream.push_held`.
+    This is what `stream_update_rate` pushes between filter updates
+    dispatch — for BRIR (asm-mode) streams it skips the per-push
+    in-kernel FFT assembly chain, the dominant per-push cost."""
+    dotp = _kdot(precision)
+    H = ph_ref[...]
+    _stream_conv_core(False, Sp, B, F2p, P, dotp,
+                      prev_in, xb_ref, fdl_re, fdl_im, None, None,
+                      H, dft_ref, di_ref, y_out, nf_re, nf_im, None)
+
+
+def stream_hold_vmem_bytes(block: int, n_parts: int, chunk: int) -> int:
+    """VMEM footprint of the hold-filter streaming step at a given
+    per-grid-step stream chunk: the conv-core working set of
+    `stream_step_vmem_bytes` minus every assembly term. Used by
+    `tinaural.ops.vmem.stream_hold_chunk` to pick the largest chunk
+    that fits — hold is strictly lighter than either assembling
+    variant, so eligibility itself follows the parent step's gate."""
+    F2 = block + 1
+    F2p = _round_up(F2, 128)
+    P = n_parts
+    consts = (2 * block * 2 * F2p + 2 * F2p * block) * 4
+    work = chunk * (2 * 2 * block + 2 * 2 * F2p + 4 * P * F2p
+                    + 6 * P * 2 * F2p + 12 * F2p + 4 * block) * 4
+    return consts + work
 
 
 def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
@@ -2257,6 +2293,79 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     ph_re2 = nh[:S, :, :, 0].transpose(0, 2, 1, 3)[..., :F2]  # (S, P, 2, F2)
     ph_im2 = nh[:S, :, :, 1].transpose(0, 2, 1, 3)[..., :F2]
     return y, fdl_re2, fdl_im2, ph_re2, ph_im2
+
+
+@partial(jax.jit,
+         static_argnames=("block", "interpret", "precision", "chunk"))
+def fused_stream_hold(xb, prev_in, fdl_re, fdl_im, ph_re, ph_im,
+                      block: int, interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST,
+                      chunk: int | None = None):
+    """Batched HOLD-filter streaming step in one Pallas launch: advance
+    every stream's FDL one block and render under the carried filter
+    partitions, with no assembly and no crossfade
+    (`RenderConfig.stream_update_rate` pushes between filter updates;
+    golden semantics `GoldenStream.push_held`).
+
+    xb, prev_in: (S, B); fdl_re/im: (S, P, F2); ph_re/im: (S, P, 2, F2)
+    → (y (S, 2, B), fdl_re', fdl_im'). prev_h is UNCHANGED by a hold
+    step, so it is not an output — the caller re-carries its input
+    planes, saving the (S·P·2·F2) HBM write-back every held push.
+    Eligibility follows the parent assembling step's gate
+    (vmem.fits_stream): hold's working set is a strict subset at any
+    chunk, and `vmem.stream_hold_chunk` picks the largest chunk that
+    fits its own (smaller) footprint.
+    """
+    S, B = xb.shape
+    P, F2 = fdl_re.shape[1], fdl_re.shape[2]
+    F2p = _round_up(F2, 128)
+    from .vmem import stream_hold_chunk
+
+    SC = chunk if chunk is not None else stream_hold_chunk(block, P, S)
+    Sp = _round_up(max(S, 1), SC)
+    ps = Sp - S
+    nch = Sp // SC
+
+    def ear_rows(z, lanes):  # (Sp, 2, lanes) → (2·Sp, lanes), chunk-major
+        z = z.reshape(nch, SC, 2, lanes).transpose(0, 2, 1, 3)
+        return z.reshape(2 * Sp, lanes)
+
+    def fdl_lanes(z):  # (S, P, F2) → (Sp, P·F2p)
+        z = jnp.pad(z, [(0, ps), (0, 0), (0, F2p - F2)])
+        return z.reshape(Sp, P * F2p)
+
+    zr = jnp.pad(ph_re, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
+    zi = jnp.pad(ph_im, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
+    z = jnp.stack([zr, zi], axis=-2).transpose(0, 2, 1, 3, 4)
+    phR = ear_rows(z.reshape(Sp, 2, P * 2 * F2p), P * 2 * F2p)
+    xbP = jnp.pad(xb, [(0, ps), (0, 0)])
+    pvP = jnp.pad(prev_in, [(0, ps), (0, 0)])
+
+    row1 = lambda n: pl.BlockSpec((SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    row2 = lambda n: pl.BlockSpec((2 * SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    DFTr, DI = _stream_frame_mats(block)
+    dfj, dij = jnp.asarray(DFTr), jnp.asarray(DI)
+    yR, nfr, nfi = pl.pallas_call(
+        partial(_stream_hold_kernel, SC, block, F2p, P, precision),
+        grid=(nch,),
+        in_specs=[row1(block), row1(block), row1(P * F2p), row1(P * F2p),
+                  row2(P * 2 * F2p), const(dfj), const(dij)],
+        out_specs=(row2(block), row1(P * F2p), row1(P * F2p)),
+        out_shape=(jax.ShapeDtypeStruct((2 * Sp, block), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32)),
+        interpret=interpret,
+    )(pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, dfj, dij)
+
+    y = yR.reshape(nch, 2, SC, block).transpose(0, 2, 1, 3)
+    y = y.reshape(Sp, 2, block)[:S]
+    fdl_re2 = nfr.reshape(Sp, P, F2p)[:S, :, :F2]
+    fdl_im2 = nfi.reshape(Sp, P, F2p)[:S, :, :F2]
+    return y, fdl_re2, fdl_im2
 
 
 # ======================= fused inverse-FFT + OLA epilogue =====================

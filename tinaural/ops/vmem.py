@@ -155,6 +155,24 @@ def fits_stream(taps: int, block: int, n_streams: int) -> bool:
     return stream_mode(taps, block, n_streams) is not None
 
 
+def stream_hold_chunk(block: int, n_parts: int, n_streams: int) -> int:
+    """Per-grid-step stream chunk for the HOLD-filter streaming step
+    (`fused_stream_hold` — the no-assembly `stream_update_rate` step):
+    the largest tile in {64, 32, 16, 8} whose conv-core-only footprint
+    fits `KERNEL_BUDGET`, capped at the (8-rounded) batch size so small
+    batches stay compact. Hold's working set is a strict subset of
+    either assembling variant's at the same chunk, so any shape
+    `fits_stream` admits fits here at chunk ≥ the parent's."""
+    from .pallas_kernels import stream_hold_vmem_bytes
+
+    cap = max(8, -(-max(n_streams, 1) // 8) * 8)
+    for sc in (64, 32, 16, 8):
+        sc = min(sc, cap)
+        if stream_hold_vmem_bytes(block, n_parts, sc) < KERNEL_BUDGET:
+            return sc
+    return 8
+
+
 # ------------------------------------------------- Mosaic-failure fallback
 
 

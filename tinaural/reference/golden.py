@@ -331,3 +331,25 @@ class GoldenStream:
         self.prev_in = xb
         self.prev_H = H
         return y
+
+    def push_held(self, xb: np.ndarray) -> np.ndarray:
+        """Hold-filter push: advance the FDL one block and render under
+        the CARRIED filter partitions, with no reassembly and no
+        crossfade blend (the filter is unchanged; blending two identical
+        outputs is the identity up to one rounding). This DEFINES
+        `RenderConfig.stream_update_rate` semantics: a burst at
+        update_rate=k is `push` at each burst-local multiple of k and
+        `push_held` in between — equivalent to update_rate=1 on the
+        push-snapped direction track to f64 rounding (oracle test)."""
+        B = self.block
+        xb = np.asarray(xb, dtype=np.float64)
+        if xb.shape != (B,):
+            raise ValueError(f"block must be ({B},), got {xb.shape}")
+        if self.prev_H is None:
+            raise ValueError("push_held before any push: no carried filter")
+        X = np.fft.rfft(np.concatenate([self.prev_in, xb]))
+        self.fdl = np.concatenate([X[None], self.fdl[:-1]], axis=0)
+        Y = np.einsum("pf,pef->ef", self.fdl, self.prev_H)
+        y = np.fft.irfft(Y, 2 * B, axis=-1)[:, B:]
+        self.prev_in = xb
+        return y
