@@ -232,3 +232,38 @@ def test_sharded_stream_asm_mode_long_filters(rng):
         for k in range(K):
             ref = g.push(mb[k, s].astype(np.float64), azs[s], els[s])
             assert snr_db(ref, ym[k, s]) > 60, (k, s)
+
+
+def test_sharded_push_many_update_rate(rng):
+    """`stream_update_rate` composes with the sharded serving layer: the
+    lax.cond'd update/hold schedule (hold = `fused_stream_hold`, no
+    assembly) runs inside shard_map on the 8-device src mesh, on the
+    long-tap asm-mode route where the knob matters most. Golden parity
+    per listener across shard boundaries via the push/push_held
+    schedule (`GoldenStream.push_held`)."""
+    from tinaural.data import load_hrir_set
+    from tinaural.models.streaming import _use_fused_step
+    from tinaural.parallel import ShardedBatchedStream, make_mesh
+
+    table = load_hrir_set("synthetic", taps=512)
+    B, S, K, k = 256, 8, 8, 4
+    cfg = RenderConfig(stream_block=B, pallas_interpret=True,
+                       stream_update_rate=k)
+    assert _use_fused_step(jax.device_put(table), cfg, S // 8)
+    mesh = make_mesh((8, 1))
+    svc = ShardedBatchedStream(table, S, mesh, cfg)
+    azs = (np.linspace(10, 320, K * S).reshape(K, S)).astype(np.float32)
+    els = np.linspace(-20, 50, S).astype(np.float32)
+    els = np.broadcast_to(els, (K, S)).copy()
+    mb = rng.standard_normal((K, S, B)).astype(np.float32)
+    ym = np.asarray(svc.push_many(mb, azs, els))
+    assert ym.shape == (K, S, 2, B)
+    for s in (0, 7):  # first + last shard
+        g = golden.GoldenStream(table, RenderConfig(stream_block=B))
+        for i in range(K):
+            if i % k == 0:
+                ref = g.push(mb[i, s].astype(np.float64), azs[i, s],
+                             els[i, s])
+            else:
+                ref = g.push_held(mb[i, s].astype(np.float64))
+            assert snr_db(ref, ym[i, s]) > 60, (i, s)
