@@ -12,6 +12,7 @@ Scanned band (2026-08-18, tinaural.ops.pallas_kernels estimators):
   partitioned    B=512 P=17 (taps 8640)       15.78 MiB
   block step     taps=512 n_fft=2048          15.92 MiB  (use_filter_fft set)
   block mix      taps=128 n_fft=2048 S=128    14.41 MiB
+  stream hold    block=128 P=29 S=32 SC=32    15.88 MiB  (round-5 kernel)
 
 Run alone on the chip: python scripts/check_r5_budget_band.py
 Exit 0 = every shape compiled and ran under shard_map. `--interpret`
@@ -31,6 +32,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tinaural_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+
+# `--interpret` must run on CPU even though this box's sitecustomize
+# force-registers the axon TPU plugin and ignores JAX_PLATFORMS (a dead
+# tunnel then HANGS backend init); the config API wins pre-init.
+if "--interpret" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized
+
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -132,6 +143,31 @@ run("block_mix taps=128 n_fft=2048 S=128",
         h, d, g, x, taps=taps4, n_fft=n_fft4, precision="tri",
         interpret=INTERP),
     h4, d4, g4, xb4)
+
+# ---- stream hold (round-5): block=128, P=29, S=32, chunk=32
+#      (15.88 MiB estimate — the no-assembly stream_update_rate step)
+from tinaural.ops.pallas_kernels import (fused_stream_hold,
+                                         stream_hold_vmem_bytes)
+
+B5, P5, S5 = 128, 29, 32
+SC5 = vmem.stream_hold_chunk(B5, P5, S5)
+assert 12 * 2**20 < stream_hold_vmem_bytes(B5, P5, SC5) < vmem.KERNEL_BUDGET
+F25 = B5 + 1
+xb5 = jnp.asarray(rng.standard_normal((S5, B5)).astype(np.float32))
+pv5 = jnp.asarray(rng.standard_normal((S5, B5)).astype(np.float32))
+fr5 = jnp.asarray((rng.standard_normal((S5, P5, F25)) * 0.1)
+                  .astype(np.float32))
+fi5 = jnp.asarray((rng.standard_normal((S5, P5, F25)) * 0.1)
+                  .astype(np.float32))
+hr5 = jnp.asarray((rng.standard_normal((S5, P5, 2, F25)) * 0.02)
+                  .astype(np.float32))
+hi5 = jnp.asarray((rng.standard_normal((S5, P5, 2, F25)) * 0.02)
+                  .astype(np.float32))
+run(f"stream_hold B=128 P=29 S=32 SC={SC5}",
+    lambda x, pv, fr, fi, hr, hi: fused_stream_hold(
+        x, pv, fr, fi, hr, hi, B5, interpret=INTERP, precision="tri",
+        chunk=SC5),
+    xb5, pv5, fr5, fi5, hr5, hi5)
 
 if failures:
     print(f"BUDGET-BAND CHECK FAILED: {failures}", flush=True)
