@@ -656,3 +656,38 @@ def test_filter_fft_long_taps_parity(rng):
     refs = golden.render_scene(table, xs, sdirs,
                                RenderConfig(block_size=256))
     assert snr_db(refs, ys) > 60
+
+
+def test_fused_stream_hold_matches_xla_hold(table, rng):
+    """Direct hold-kernel parity: after one assembling push populates
+    the FDL and carried partitions, chained `fused_stream_hold` calls ==
+    the XLA `_hold_core_xla` per push, across chunk values that exercise
+    the padded-tail path (S not a multiple of the chunk)."""
+    from tinaural.models.streaming import (_batch_step_core, _hold_core_xla,
+                                           init_state)
+    from tinaural.ops.pallas_kernels import fused_stream_hold
+
+    B, S = 256, 5
+    cfg = RenderConfig(stream_block=B)
+    tbl = jax.device_put(table)
+    state = jax.vmap(lambda _: init_state(tbl, cfg))(jnp.arange(S))
+    azs = jnp.asarray(np.linspace(0, 300, S).astype(np.float32))
+    els = jnp.asarray(np.linspace(-20, 50, S).astype(np.float32))
+    xb0 = jnp.asarray(rng.standard_normal((S, B)).astype(np.float32))
+    state, _ = _batch_step_core(tbl, state, xb0, azs, els, cfg)
+
+    for chunk in (8, 16):  # 5 streams → 3/11 rows of padding
+        st_k = state
+        st_x = state
+        for step in range(3):
+            xb = jnp.asarray(rng.standard_normal((S, B)).astype(np.float32))
+            y, fr, fi = fused_stream_hold(
+                xb, st_k.prev_in, st_k.fdl_re, st_k.fdl_im,
+                st_k.prev_h_re, st_k.prev_h_im, B, interpret=True,
+                chunk=chunk)
+            st_k = st_k._replace(prev_in=xb, fdl_re=fr, fdl_im=fi)
+            st_x, y_ref = jax.vmap(
+                lambda s, x: _hold_core_xla(s, x, cfg))(st_x, xb)
+            assert snr_db(np.asarray(y_ref), np.asarray(y)) > 90, (chunk, step)
+            assert snr_db(np.asarray(st_x.fdl_re),
+                          np.asarray(fr)) > 90, (chunk, step)
