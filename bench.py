@@ -515,7 +515,15 @@ def w_brir() -> dict:
 
     taps = r.table.h.shape[-1]
     P = -(-(taps + DELAY_PAD) // B)
+    # mirror _partitioned_core's FULL asm gate, including the use_mm
+    # branch it consults first (filter_path="matmul" defers to the fft
+    # chain only at P>4 — if a future shape change makes P<=4, the
+    # production route is fused_partitioned_step, not asm, and this
+    # proof must say so)
+    use_mm = (cfg.filter_path == "hybrid"
+              or (cfg.filter_path == "matmul" and P <= 4))
     asm_ok = (_use_fused_partitioned(cfg, B, P)
+              and not use_mm
               and cfg.part_assembly == "kernel"
               and vmem.fits_partitioned_asm(taps, B, P))
     out["route"] = _route("partitioned_asm+dir4_unique",
@@ -698,11 +706,19 @@ def w_stream() -> dict:
                            RenderConfig(stream_block=B))
         _batched_push_cost(bs, np.zeros((Sp, B), np.float32),
                            np.zeros(Sp, np.float32), np.zeros(Sp, np.float32))
+        from tinaural.ops import vmem
+
+        # the route proof must run in PRIME/smoke too — smoke is the
+        # pre-flight that exists to catch a route regression BEFORE an
+        # official capture burns 40 min on the wrong architecture
+        taps_p = bs.table.h.shape[-1]
         return {"push_compute_ms": float("inf"),
                 "push_latency_ms_incl_tunnel_rtt": float("inf"),
                 "realtime_budget_ms": B / SR * 1e3,
                 "batched64_push_ms": float("inf"),
-                "batched64_aggregate_audio_sec_per_sec": float("inf")}
+                "batched64_aggregate_audio_sec_per_sec": float("inf"),
+                "route": _route("stream_zoom",
+                                vmem.stream_mode(taps_p, B, Sp) == "zoom")}
 
     def fenced(n):
         t0 = time.perf_counter()

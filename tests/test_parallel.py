@@ -79,6 +79,10 @@ def test_scene_sharded_single_launch_route(table, rng, monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(psc, "_fused_render", counting)
+    # the counter only ticks at TRACE time: drop any executable cached
+    # by an earlier test with identical (shapes, config, mesh), which
+    # would skip tracing and zero the counter spuriously
+    jax.clear_caches()
     mesh = make_mesh((8, 1))
 
     xs = rng.standard_normal((S, N))

@@ -108,6 +108,13 @@ def test_is_mosaic_failure_classification():
                         "space smem while allocating")
     assert vmem.is_mosaic_failure(smem)
     assert not vmem.is_hbm_oom(smem)
+    # ...but the allocator's OTHER device-global spaces (host, device)
+    # are workload OOMs like hbm — loud, never demotable (round-5
+    # review: the hbm-only blocklist silently demoted a host-space OOM)
+    host = RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                        "space host while allocating 8.2G")
+    assert not vmem.is_mosaic_failure(host)
+    assert vmem.is_hbm_oom(host)
 
 
 def test_hbm_oom_reraises_never_demotes():

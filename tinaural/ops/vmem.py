@@ -208,14 +208,19 @@ def is_mosaic_failure(exc: BaseException) -> bool:
     needles = ("Mosaic", "mosaic", "VMEM", "vmem", "Pallas", "pallas")
     if any(n in text for n in needles):
         return True
-    # Kernel-side exhaustion of any named ON-CHIP memory space (smem,
-    # cmem, semaphore mem, ...) is a lowering-resource failure and must
-    # keep demoting; only the device-global allocator's HBM space means
-    # "the workload itself is too big" (round-5 review finding: the
-    # first split classified a smem exhaustion as an HBM OOM and turned
-    # the previously-working demotion into a crash with a wrong
-    # diagnostic).
-    return "memory space" in text and "hbm" not in text.lower()
+    # Kernel-side exhaustion of a named ON-CHIP memory space (smem,
+    # cmem, semaphore mem; vmem already matched above) is a
+    # lowering-resource failure and must keep demoting. This is an
+    # ALLOWLIST of kernel spaces, not "anything but hbm": the
+    # device-global allocator names other spaces too ("memory space
+    # host", "memory space device"), and those mean "the workload
+    # itself is too big" — demoting them would turn a loud OOM into a
+    # sticky mystery slowdown (two round-5 review findings: the first
+    # split classified an smem exhaustion as an HBM OOM; the hbm-only
+    # blocklist then classified a host-space OOM as demotable).
+    tl = text.lower()
+    return ("memory space" in tl
+            and any(sp in tl for sp in ("smem", "cmem", "semaphore")))
 
 
 def is_hbm_oom(exc: BaseException) -> bool:

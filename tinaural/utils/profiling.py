@@ -87,30 +87,11 @@ def marginal_cost(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
     ``call`` must return a device value (array or pytree); to keep XLA
     from dead-code-eliminating the work, make it an output that depends
     on the whole computation (e.g. the rendered block, or a scalar sum).
+
+    Single-leg case of `marginal_cost_ab` — one estimator, one place to
+    calibrate (warmup/settle schedule, positive-median fallback).
     """
-
-    def batch(k):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(k):
-            y = call()
-        fence(y)
-        return time.perf_counter() - t0
-
-    batch(1)  # compile + warm
-    batch(1)
-    batch(k1)  # discarded settle pair: the first measurements in a fresh
-    batch(k2)  # process ran 20-40% cold (allocator/tunnel ramp, measured)
-    ests, t2s = [], []
-    for _ in range(reps):
-        t1 = batch(k1)
-        t2 = batch(k2)
-        ests.append((t2 - t1) / (k2 - k1))
-        t2s.append(t2)
-    pos = [e for e in ests if e > 0]
-    if len(pos) >= 2:
-        return float(np.median(pos))
-    return float(min(t2s)) / k2
+    return marginal_cost_ab({"_": call}, k1=k1, k2=k2, reps=reps)["_"]
 
 
 def marginal_cost_ab(calls: dict, k1: int = 2, k2: int = 12,
