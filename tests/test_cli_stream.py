@@ -82,3 +82,23 @@ def test_cli_fit_end_to_end(tmp_path, rng):
     err_fit = np.sum((yf[:, :n] - y[:, :n]) ** 2)
     err_stock = np.sum((y0[:, :n] - y[:, :n]) ** 2)
     assert err_fit < 0.2 * err_stock
+
+
+def test_cli_stream_update_rate_matches_golden(mono_wav, tmp_path):
+    """--update-rate 4 routes the held-filter schedule through both the
+    JAX path and the --cpu-golden mirror (push/push_held), and they
+    agree; rate 1 output differs (the knob is not a no-op)."""
+    a, b, c = tmp_path / "a.wav", tmp_path / "b.wav", tmp_path / "c.wav"
+    args = ["stream", str(mono_wav), "--stream-block", "256",
+            "--start-az", "300", "--end-az", "60"]
+    assert main([args[0], args[1], str(a)] + args[2:]
+                + ["--update-rate", "4"]) == 0
+    assert main([args[0], args[1], str(b)] + args[2:]
+                + ["--update-rate", "4", "--cpu-golden"]) == 0
+    assert main([args[0], args[1], str(c)] + args[2:]) == 0
+    _, ya = read_wav(a)
+    _, yb = read_wav(b)
+    _, yc = read_wav(c)
+    assert ya.shape == yb.shape == (2048, 2)
+    assert snr_db(yb, ya) > 55
+    assert snr_db(yc, ya) < 40  # held schedule != per-block updates
