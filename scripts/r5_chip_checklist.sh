@@ -5,12 +5,16 @@
 # passed. Do NOT land source changes while any step is in flight
 # (BENCH_NOTES round-4 methodology note). Logs land in /tmp/r5_chip/.
 #
-# Round-4 claims are validated at r5 HEAD rather than the r4 commit: the
-# r5 diff (bench route proofs, vmem demotion split, _as_pcm_f32, sharded
-# scene routing, scene dedupe) does not touch any kernel or any timed
-# route of the benched workloads — verify with
+# Round-4 claims are validated at r5 HEAD rather than the r4 commit.
+# NOTE (updated mid-round): the r5 kernel diff is NOT empty anymore —
 #   git diff bcf2823..HEAD -- tinaural/ops/pallas_kernels.py
-# (empty) before trusting that equivalence.
+# now carries (a) the partitioned kernel's dir_rate unique-filter
+# assembly (e08908f; touches the timed w_brir dir4 extra only — the
+# dir1 path is untouched) and (b) the round-5 fused_stream_hold kernel
+# + an `if nh_out is not None` guard in _stream_conv_core (cec8bbc;
+# touches only stream_update_rate>1 paths, which no r4 claim covers).
+# The r4-claims-at-HEAD equivalence therefore holds for every workload
+# EXCEPT brir dir4; step 4's perf gates revalidate everything anyway.
 set -x
 cd /root/repo
 mkdir -p /tmp/r5_chip
