@@ -83,7 +83,11 @@ def _sz(official: int, smoke: int) -> int:
 
 
 def _fence(y) -> float:
-    return float(np.asarray(y[0, -1]))
+    # the shared pytree-safe fence (1-element d2h; this backend's
+    # block_until_ready is async — see utils.profiling.fence)
+    from tinaural.utils.profiling import fence
+
+    return fence(y)
 
 
 def _marginal(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
@@ -199,11 +203,11 @@ def _roofline(macs: dict, seconds: float) -> dict:
     }
 
 
-def w_trajectory(use_pallas: bool = True) -> dict:
-    """1-source moving render, 2^23 samples (~190 s audio), block 1024.
-
-    use_pallas=True is the DEFAULT config (single-launch fused render
-    kernel); False measures the pure-XLA fallback path for comparison.
+def w_trajectory() -> dict:
+    """1-source moving render, 2^23 samples (~190 s audio), block 1024 —
+    THE headline (the number of record). Measured alone, fused route
+    only, before anything else runs in its process: its methodology must
+    stay comparable round-over-round (round-4 series 92.9–99.9k).
 
     Round-4 workload-size note: rounds 1–3 used 2^21 samples. The round-4
     kernel renders that in ~0.40 ms of device time — UNDER this tunnel's
@@ -220,7 +224,7 @@ def w_trajectory(use_pallas: bool = True) -> dict:
     from tinaural.models.renderer import _trajectory_fn
 
     N, B = _sz(1 << 23, 1 << 15), 1024
-    cfg = RenderConfig(block_size=B, use_pallas=use_pallas)
+    cfg = RenderConfig(block_size=B)
     r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
     rng = np.random.default_rng(0)
     nb = N // B
@@ -236,9 +240,54 @@ def w_trajectory(use_pallas: bool = True) -> dict:
         "audio_sec_per_sec": (N / SR) / per,
         "oneshot_ms_incl_rtt": _oneshot(call) * 1e3,
     }
-    if use_pallas:  # the MAC model describes the fused pipeline only
-        out.update(_roofline(_render_macs(128, 2048, nb), per))
-        out["route"] = _render_route(cfg, r.table, B, 1)
+    taps = r.table.h.shape[-1]  # derive, don't hardcode (review finding)
+    from tinaural.ops.filters import DELAY_PAD, next_pow2
+
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    out.update(_roofline(_render_macs(taps, n_fft, nb), per))
+    out["route"] = _render_route(cfg, r.table, B, 1)
+    return out
+
+
+def w_traj_ab() -> dict:
+    """Fused kernel vs pure-XLA fallback on the headline workload, the
+    two legs INTERLEAVED in one process (marginal_cost_ab). Runs AFTER
+    the headline in traj_group: the previous sequential structure ran
+    the XLA leg second and in-process drift systematically inflated the
+    reported kernel advantage (review finding; the round-2 measured
+    up-to-35% later-workload slowdown). The headline above keeps its
+    round-comparable single-leg methodology; THIS is the speedup claim."""
+    import jax
+    from tinaural.config import RenderConfig
+    from tinaural.data import load_hrir_set
+    from tinaural.models import BinauralRenderer
+    from tinaural.models.renderer import _trajectory_fn
+
+    N, B = _sz(1 << 23, 1 << 15), 1024
+    cfg = RenderConfig(block_size=B)
+    cfg_x = RenderConfig(block_size=B, use_pallas=False)
+    r = BinauralRenderer(load_hrir_set("synthetic"), cfg)
+    rng = np.random.default_rng(0)
+    nb = N // B
+    xb = jax.device_put(rng.standard_normal((nb, B)).astype(np.float32))
+    dirs = jax.device_put(
+        np.stack([np.linspace(0, 350, nb) % 360,
+                  40 * np.sin(np.linspace(0, 20, nb))],
+                 axis=1).astype(np.float32))
+    legs = {"fused": lambda: _trajectory_fn(r.table, xb, dirs, cfg),
+            "xla": lambda: _trajectory_fn(r.table, xb, dirs, cfg_x)}
+    if PRIME:
+        for c in legs.values():
+            _fence(c())
+        per = {n: float("inf") for n in legs}
+    else:
+        from tinaural.utils.profiling import marginal_cost_ab
+
+        per = marginal_cost_ab(legs, k1=2, k2=10, reps=4)
+    out = {"audio_sec_per_sec": (N / SR) / per["xla"],
+           "fused_interleaved_audio_sec_per_sec": (N / SR) / per["fused"]}
+    if np.isfinite(per["fused"]) and per["fused"] > 0:
+        out["fused_over_xla"] = round(per["xla"] / per["fused"], 2)
     return out
 
 
@@ -266,7 +315,11 @@ def w_traj_dir4() -> dict:
     per = _marginal(lambda: _trajectory_fn(r.table, xb, dirs, cfg),
                     k1=4, k2=16, reps=5)
     out = {"audio_sec_per_sec": (N / SR) / per}
-    out.update(_roofline(_render_macs(128, 2048, nb, dir_rate=4), per))
+    from tinaural.ops.filters import DELAY_PAD, next_pow2
+
+    taps = r.table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    out.update(_roofline(_render_macs(taps, n_fft, nb, dir_rate=4), per))
     out["route"] = _render_route(cfg, r.table, B, 1)
     return out
 
@@ -420,9 +473,13 @@ def w_scene_moving() -> dict:
     per = _marginal(call, 1, 5)
     out = {"aggregate_audio_sec_per_sec": S * (N / SR) / per,
            "route": _render_route(cfg, r.table, B, S)}
-    macs = _render_macs(128, 2048, S * nb)
+    from tinaural.ops.filters import DELAY_PAD, next_pow2
+
+    taps = r.table.h.shape[-1]
+    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
+    macs = _render_macs(taps, n_fft, S * nb)
     # the inverse runs once per OUTPUT block, not per (source, block)
-    inv = 2 * 3 * (S - 1) * nb * 4 * (2048 // 128) * 128 * 128
+    inv = 2 * 3 * (S - 1) * nb * 4 * (n_fft // 128) * 128 * 128
     macs["pass_flops"] -= inv
     macs["flops"] -= inv // 3
     out.update(_roofline(macs, per))
@@ -464,8 +521,18 @@ def w_static() -> dict:
     xd = jax.device_put(xp)
     az, el = jnp.float32(123.4), jnp.float32(5.6)
     per_direct = _marginal(lambda: _static_fn(r.table, xd, az, el, cfg, n))
+    # route proof: the static block path assembles ONE filter and runs
+    # XLA forward FFTs by design — its fused component is the
+    # inverse+OLA epilogue (review finding: this workload had no proof)
+    from tinaural.models.renderer import _use_fused_epilogue
+    from tinaural.ops.filters import DELAY_PAD
+
+    n_fft = next_pow2(cfg.block_size + r.table.h.shape[-1] + DELAY_PAD - 1)
     return {"audio_sec_per_sec": (N / SR) / per,
-            "direct_fft_audio_sec_per_sec": (N / SR) / per_direct}
+            "direct_fft_audio_sec_per_sec": (N / SR) / per_direct,
+            "route": _route("fused_epilogue",
+                            _use_fused_epilogue(cfg, n_fft,
+                                                cfg.block_size))}
 
 
 def w_brir() -> dict:
@@ -528,8 +595,17 @@ def w_brir() -> dict:
               and vmem.fits_partitioned_asm(taps, B, P))
     out["route"] = _route("partitioned_asm+dir4_unique",
                           asm_ok and nb % 4 == 0)
-    # kernel-only MAC model (XLA-side partition assembly not counted):
-    # fwd four-step stage 3 + the crossfade pair of inverse four-steps
+    # CONV-CORE-ONLY MAC model: fwd four-step stage 3 + the crossfade
+    # pair of inverse four-steps. On the timed route (part_assembly=
+    # "kernel") the whole filter-assembly chain — rfft_L, inverse-L,
+    # P segment transforms, scramble — ALSO runs in-kernel on the MXU
+    # and is NOT counted here (review finding: the old comment said
+    # "XLA-side assembly not counted", which stopped being true when
+    # assembly moved in-kernel). The %-peak extra is therefore a LOWER
+    # bound on the kernel's MXU utilisation, and dir1-vs-dir4 read
+    # identical FLOPs here even though dir4 skips 3/4 of the
+    # (uncounted) assembly. Kept as-is for round-over-round
+    # comparability; treat it as "conv-core floor", not utilisation.
     n1p = (2 * B) // 128
     ghp = n1p // 2 + 1
     tri = nb * (4 * ghp + 2 * 4 * n1p) * 128 * 128
@@ -539,52 +615,21 @@ def w_brir() -> dict:
 
 
 def _batched_push_cost(bs, blocks, azs, els) -> float:
-    """Pipelined marginal seconds per BatchedStream.push (state-chained
-    pushes, one fence; settle pair discarded — cold-start bias)."""
-    def fenced_b(n):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(n):
-            y = bs.push(blocks, azs, els)
-        float(np.asarray(y[0, 0, -1]))
-        return time.perf_counter() - t0
-
-    bs.push(blocks, azs, els)
-    if PRIME:
-        fenced_b(1)
-        return float("inf")
-    fenced_b(3)
-    fenced_b(4), fenced_b(16)  # discarded settle pair
-    ests = [(fenced_b(16) - fenced_b(4)) / 12 for _ in range(3)]
-    pos = [e for e in ests if e > 0]
-    return (float(np.median(pos)) if len(pos) >= 2
-            else min(fenced_b(16) for _ in range(2)) / 16)
+    """Pipelined marginal seconds per BatchedStream.push (pushes chain
+    through the carried state, one fence per batch) — the shared
+    estimator of tinaural.utils.profiling.marginal_cost (one place to
+    calibrate; review finding: three local copies had already drifted)."""
+    return _marginal(lambda: bs.push(blocks, azs, els), k1=4, k2=16,
+                     reps=3)
 
 
 def _push_many_cost(bs, blocks, azs, els) -> float:
     """Pipelined marginal seconds per BLOCK via `push_many` (K blocks
-    per dispatch, device-staged inputs, one fence per call)."""
+    per dispatch, device-staged inputs, one fence per call) — shared
+    marginal_cost estimator, divided by the K blocks each call serves."""
     K = blocks.shape[0]
-
-    def fenced(n):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(n):
-            y = bs.push_many(blocks, azs, els)
-        float(np.asarray(y[-1, 0, 0, -1]))
-        return time.perf_counter() - t0
-
-    bs.push_many(blocks, azs, els)
-    if PRIME:
-        fenced(1)
-        return float("inf")
-    fenced(2)
-    fenced(1), fenced(4)  # discarded settle pair
-    ests = [(fenced(4) - fenced(1)) / 3 for _ in range(3)]
-    pos = [e for e in ests if e > 0]
-    per_call = (float(np.median(pos)) if len(pos) >= 2
-                else min(fenced(4) for _ in range(2)) / 4)
-    return per_call / K
+    return _marginal(lambda: bs.push_many(blocks, azs, els),
+                     k1=1, k2=4, reps=3) / K
 
 
 def w_capacity() -> dict:
@@ -656,18 +701,30 @@ def w_capacity() -> dict:
                           + 2.0 * np.arange(Kb, dtype=np.float32)[:, None])
                          % 360.0)
     mel = jax.device_put(np.zeros((Kb, Sb), np.float32))
-    per_brir = _push_many_cost(bsb, mb, maz, mel)
-    out[f"sustained_brir_push_ms_{Sb}"] = per_brir * 1e3
-    out["brir_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir
-
-    # BRIR serving at stream_update_rate=4 (round 5): filters reassemble
-    # every 4th push (still a 23 ms head-tracking cadence); the held
-    # pushes run the no-assembly hold kernel, skipping the in-kernel
-    # FFT-assembly chain that dominates the k=1 per-push cost. Same
-    # staged inputs — held pushes ignore their directions by contract.
+    # BRIR serving at k=1 vs stream_update_rate=4 (round 5): at k=4,
+    # filters reassemble every 4th push (still a 23 ms head-tracking
+    # cadence); held pushes run the no-assembly hold kernel, skipping
+    # the in-kernel FFT-assembly chain that dominates the k=1 per-push
+    # cost. Same staged inputs — held pushes ignore their directions by
+    # contract. The two legs are INTERLEAVED in one process
+    # (marginal_cost_ab): sequential per-leg medians are untrustworthy
+    # under the documented in-process drift, and this pair is the
+    # round's lever A/B (review finding).
     bsb4 = BatchedStream(
         bt, Sb, RenderConfig(stream_block=B, stream_update_rate=4))
-    per_brir4 = _push_many_cost(bsb4, mb, maz, mel)
+    legs = {"k1": lambda: bsb.push_many(mb, maz, mel),
+            "k4": lambda: bsb4.push_many(mb, maz, mel)}
+    if PRIME:
+        for c in legs.values():
+            _fence(c())
+        per_brir = per_brir4 = float("inf")
+    else:
+        from tinaural.utils.profiling import marginal_cost_ab
+
+        per_leg = marginal_cost_ab(legs, k1=1, k2=4, reps=3)
+        per_brir, per_brir4 = per_leg["k1"] / Kb, per_leg["k4"] / Kb
+    out[f"sustained_brir_push_ms_{Sb}"] = per_brir * 1e3
+    out["brir_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir
     out[f"sustained_brir_k4_push_ms_{Sb}"] = per_brir4 * 1e3
     out["brir_k4_realtime_listeners_per_chip"] = Sb * (B / SR) / per_brir4
     from tinaural.ops import vmem
@@ -720,25 +777,20 @@ def w_stream() -> dict:
                 "route": _route("stream_zoom",
                                 vmem.stream_mode(taps_p, B, Sp) == "zoom")}
 
-    def fenced(n):
-        t0 = time.perf_counter()
-        y = None
-        for i in range(n):
-            y = s.push(xb, 30.0 + i, 0.0)
-        _fence(y)
-        return time.perf_counter() - t0
-
     # fenced every push: tunnel RTT per block
     t0 = time.perf_counter()
     for i in range(20):
         _fence(s.push(xb, 30.0 + i, 0.0))
     per_rtt = (time.perf_counter() - t0) / 20
-    # pipelined: state-chained pushes, one fence
-    fenced(10), fenced(50)  # discarded settle pair (cold-start bias)
-    ests = [(fenced(50) - fenced(10)) / 40 for _ in range(3)]
-    pos = [e for e in ests if e > 0]
-    per_compute = (float(np.median(pos)) if len(pos) >= 2
-                   else min(fenced(50) for _ in range(2)) / 50)
+    # pipelined: state-chained pushes, one fence per batch — the shared
+    # marginal estimator, with the head still rotating per push
+    ctr = {"i": 0}
+
+    def one_push():
+        ctr["i"] += 1
+        return s.push(xb, 30.0 + ctr["i"] % 40, 0.0)
+
+    per_compute = _marginal(one_push, k1=10, k2=50, reps=3)
 
     # Serving mode: 64 listeners advance one block per fused launch.
     from tinaural.models import BatchedStream
@@ -792,8 +844,8 @@ def w_snr() -> dict:
 # cross-workload contamination away from the dissimilar ones.
 GROUPS = {
     "traj_group": [
-        ("traj", lambda: w_trajectory(True)),
-        ("traj_xla", lambda: w_trajectory(False)),
+        ("traj", w_trajectory),
+        ("traj_xla", w_traj_ab),
         ("snr", w_snr),
     ],
     "scene_group": [
@@ -916,7 +968,11 @@ def main() -> None:
 
     traj = get("traj", "audio_sec_per_sec")
     extras = {
+        # xla fallback + the kernel speedup, both legs interleaved in one
+        # process (w_traj_ab) — the trustworthy A/B on this tunnel
         "1src_trajectory_xla_fallback": get("traj_xla", "audio_sec_per_sec"),
+        "trajectory_fused_over_xla": get("traj_xla", "fused_over_xla",
+                                         nd=2),
         "1src_trajectory_dir_rate4": get("traj_dir4", "audio_sec_per_sec"),
         "64src_moving_dir_rate4_aggregate": get(
             "scene_moving_dir4", "aggregate_audio_sec_per_sec"),
@@ -980,14 +1036,38 @@ def main() -> None:
             extras["64src_static_scene_aggregate"] / traj, 2)
     if errors:
         extras["errors"] = errors
+    # Backend NAME via a fresh capped subprocess, never the parent:
+    # jax.default_backend() in the parent would init the backend, which
+    # HANGS (not errors) on a dead tunnel — and a tunnel that died MID-
+    # RUN (probe passed at T0, groups then timed out) would hang right
+    # here and the headline JSON line would never print, zeroing the
+    # round's record the way round 4's was (review finding).
+    if "backend_probe" in errors:
+        backend = "unreachable"
+    elif SMOKE:
+        backend = jax.default_backend()  # parent is pinned to cpu in
+        # smoke; a bare subprocess would NOT inherit the pin and would
+        # hang on a dead tunnel, failing the pre-flight spuriously
+    else:
+        try:
+            bp = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=300)
+            backend = (bp.stdout.strip().splitlines()[-1]
+                       if bp.returncode == 0 and bp.stdout.strip()
+                       else "unknown")
+        except Exception:
+            backend = "unreachable_at_end"  # died mid-run; numbers above
+            errors["backend_end_probe"] = (  # say which groups survived
+                "backend probe failed AFTER the groups ran")
+            extras["errors"] = errors  # errors may have been empty before
     result = {
         "metric": "1src_audio_sec_per_sec_per_chip",
         "value": traj if traj is not None else 0.0,
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round((traj or 0.0) / TARGET_X_REALTIME, 3),
-        # backend init hangs when the tunnel is dead — skip it then
-        "backend": (jax.default_backend()
-                    if "backend_probe" not in errors else "unreachable"),
+        "backend": backend,
         "extras": extras,
     }
     if SMOKE:
