@@ -113,3 +113,33 @@ def test_sharded_fit_step_matches_single_device(table, rng):
     for a, b in zip(jax.tree.leaves(g_sharded), jax.tree.leaves(g_single)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fit_loss_pads_sources(table, rng):
+    """Source count not divisible by the shard count zero-pads exactly
+    (a silent source is zero loss AND zero gradient — the render is
+    linear in the audio), matching render_scene_sharded's convention
+    instead of shard_map's low-level trace error."""
+    from tinaural.parallel import make_mesh, scene_loss_sharded
+
+    B = CFG.block_size
+    xs, dirs = _scene_inputs(8, S=5, N=512)  # 5 sources on 8 shards
+    nb = 2
+    xbs = jnp.asarray(xs.reshape(5, nb, B))
+    dirs_b = jnp.asarray(
+        np.broadcast_to(dirs[:, None, :], (5, nb, 2)).astype(np.float32))
+    target = jnp.zeros((2, 512), jnp.float32)
+    params = init_params()
+    tbl = jax.device_put(table)
+    mesh = make_mesh((8, 1))
+    l_sharded = scene_loss_sharded(params, tbl, xbs, dirs_b, target, CFG,
+                                   mesh)
+    l_single = scene_loss(params, tbl, xbs, dirs_b, target, CFG)
+    np.testing.assert_allclose(float(l_sharded), float(l_single), rtol=1e-4)
+    g_sharded = jax.grad(scene_loss_sharded)(params, tbl, xbs, dirs_b,
+                                             target, CFG, mesh)
+    g_single = jax.grad(scene_loss)(params, tbl, xbs, dirs_b, target, CFG)
+    for a, b in zip(jax.tree.leaves(g_sharded), jax.tree.leaves(g_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=1e-6)

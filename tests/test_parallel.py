@@ -60,7 +60,7 @@ def test_scene_sharded_single_launch_route(table, rng, monkeypatch):
     generation behind single-chip). Asserts the route actually fires
     inside shard_map (trace-time counter on the imported symbol) and
     stays golden-parity — moving and static scenes."""
-    import tinaural.parallel.scene as psc
+    import tinaural.models.renderer as mr
     from tinaural.models.renderer import _use_fused_render, next_pow2
     from tinaural.ops.filters import DELAY_PAD
 
@@ -72,13 +72,15 @@ def test_scene_sharded_single_launch_route(table, rng, monkeypatch):
     assert _use_fused_render(cfg, taps, n_fft, B, S // 8)  # per-shard S
 
     calls = {"n": 0}
-    real = psc._fused_render
+    real = mr._fused_render
 
     def counting(*a, **k):
         calls["n"] += 1
         return real(*a, **k)
 
-    monkeypatch.setattr(psc, "_fused_render", counting)
+    # the shard body IS _scene_core (round-5 simplification), so the
+    # symbol to count lives in models.renderer now
+    monkeypatch.setattr(mr, "_fused_render", counting)
     # the counter only ticks at TRACE time: drop any executable cached
     # by an earlier test with identical (shapes, config, mesh), which
     # would skip tracing and zero the counter spuriously
@@ -271,3 +273,37 @@ def test_sharded_push_many_update_rate(rng):
             else:
                 ref = g.push_held(mb[i, s].astype(np.float64))
             assert snr_db(ref, ym[i, s]) > 60, (i, s)
+
+
+def test_long_sharded_dir_rate_matches_golden(table, rng):
+    """dir_rate > 1 on the block-sharded path: the track must snap at
+    GLOBAL block indices (round-5 review: per-shard snapping through the
+    crossfade dummy block misaligned every group — measured ~0 dB)."""
+    for k in (2, 4):
+        cfg = RenderConfig(block_size=256, out_length="same", dir_rate=k)
+        mesh = make_mesh((1, 8))
+        N = 8 * 256 * 3
+        x = rng.standard_normal(N)
+        nb = N // 256
+        dirs = np.stack([np.linspace(0, 355, nb),
+                         np.linspace(-40, 90, nb)], axis=1)
+        y = np.asarray(render_long_sharded(table, x, dirs, mesh, cfg))
+        ref = golden.render_trajectory(table, x, dirs, cfg)
+        assert snr_db(ref, y) > 60, k
+
+
+def test_long_sharded_full_length(table, rng):
+    """out_length="full" (the RenderConfig default) keeps the final
+    shard's overlap-add tail (round-5 review: it was computed and
+    silently dropped — 'full' returned 'same'-length audio)."""
+    cfg = RenderConfig(block_size=256, out_length="full")
+    mesh = make_mesh((1, 8))
+    N = 8 * 256 * 2 + 100  # ragged tail exercises the trim
+    x = rng.standard_normal(N)
+    nb = -(-N // 256)
+    dirs = np.stack([np.linspace(0, 355, nb),
+                     np.linspace(-40, 90, nb)], axis=1)
+    y = np.asarray(render_long_sharded(table, x, dirs, mesh, cfg))
+    ref = golden.render_trajectory(table, x, dirs, cfg)
+    assert y.shape == ref.shape, (y.shape, ref.shape)
+    assert snr_db(ref, y) > 60

@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..models.fit import FitParams, personalize_table
-from ..models.renderer import _trajectory_core
+from ..models.renderer import _scene_fn
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
@@ -31,6 +31,18 @@ def scene_loss_sharded(params: FitParams, table, xbs, dirs, target,
     # kernel is parity-gated against it).
     config = config.replace(use_pallas=False)
 
+    # Zero-pad the source axis up to the shard count, exactly like
+    # render_scene_sharded: a silent source renders zero for ANY params
+    # (the render is linear in the audio), so it adds zero loss and zero
+    # gradient (round-5 review: non-divisible S used to die in
+    # shard_map's low-level sharding error at trace time).
+    n_src = mesh.shape["src"]
+    pad = -xbs.shape[0] % n_src
+    if pad:
+        xbs = jnp.pad(xbs, [(0, pad), (0, 0), (0, 0)])
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(dirs[-1:], (pad,) + dirs.shape[1:])])
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -40,8 +52,12 @@ def scene_loss_sharded(params: FitParams, table, xbs, dirs, target,
     )
     def loss_fn(params, table, xbs, dirs, target):
         ptable = personalize_table(table, params)
-        y = jax.vmap(lambda xb, dr: _trajectory_core(ptable, xb, dr, config))(xbs, dirs)
-        y = jax.lax.psum(jnp.sum(y, axis=0), "src")
+        # same scene core as the single-chip scene_loss (round-5 review:
+        # a per-source _trajectory_core vmap materialized every source's
+        # block spectra — the exact blowup _scene_core's chunked scan
+        # exists to avoid — and ran one irfft+OLA epilogue per source)
+        y = _scene_fn(ptable, xbs, dirs, config)
+        y = jax.lax.psum(y, "src")
         n = min(y.shape[-1], target.shape[-1])
         return jnp.mean((y[:, :n] - target[:, :n]) ** 2)
 

@@ -19,29 +19,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..models.renderer import (_chunked_sources, _fused_ola_from_planes,
-                               _fused_render, _ola_ears, _scene_spectra_fused,
-                               _snap_dirs, _trajectory_spectra_batched,
-                               _trajectory_spectra_xla, _use_fused_block,
-                               _use_fused_kernel, _use_fused_render,
-                               next_pow2)
+from ..models.renderer import _scene_core, _scene_static_core
 from ..ops.filters import DELAY_PAD
 
 
 @partial(jax.jit, static_argnames=("config", "mesh", "static_dirs"))
 def _scene_sharded_fn(table, xbs, dirs, config, mesh, static_dirs=False):
-    taps = table.h.shape[-1]
-    B = xbs.shape[-1]
-    n_fft = next_pow2(B + taps + DELAY_PAD - 1)
-    fusedb = _use_fused_block(config, taps, n_fft, B)
-    fused = _use_fused_kernel(config, taps, n_fft)
-    # Eligibility for the single-launch render kernel is priced at the
-    # PER-SHARD source count (the shapes the shard body actually
-    # launches), mirroring _scene_fn's routing order — round-4 VERDICT
-    # missing #3: this path used to stop at the two-launch pipeline, so
-    # multi-chip scenes ran a generation behind single-chip.
-    s_shard = xbs.shape[0] // mesh.shape["src"]
-    fusedr = _use_fused_render(config, taps, n_fft, B, s_shard)
+    # The shard body IS the single-chip scene core (round-5 review: a
+    # copy of its routing ladder lived here and had already drifted —
+    # static scenes on the XLA fallback ran the moving-source path; the
+    # round-4 "multi-chip ran a generation behind single-chip" bug was
+    # the same drift mode). _scene_core/_scene_static_core price every
+    # gate at the shapes they are CALLED with, which inside shard_map
+    # are the per-shard shapes — so single-launch eligibility is
+    # evaluated per shard exactly as before, and future routing changes
+    # are inherited instead of re-implemented. The psum runs AFTER the
+    # core's irfft+OLA epilogue (2·out samples over ICI, not spectra).
+    # No with_xla_fallback wrapper in here: inside a shard_map trace the
+    # net cannot catch a Mosaic failure anyway (ops/vmem.py docstring).
 
     @partial(
         shard_map,
@@ -51,58 +46,13 @@ def _scene_sharded_fn(table, xbs, dirs, config, mesh, static_dirs=False):
         check_vma=False,
     )
     def fn(table, xbs, dirs):
-        # dir_rate semantics are defined by golden.snap_dirs — snap HERE,
-        # exactly like _scene_fn, so the fused kernels' unique-filter
-        # slicing sees snapped tracks (identity at dir_rate=1 and for
-        # static scenes' broadcast dirs).
-        dirs = _snap_dirs(dirs, config.dir_rate)
-
-        if fusedr:
-            # Whole sub-scene — spectra, mixdown, inverse, OLA — in ONE
-            # kernel launch per shard, then the psum. Static scenes take
-            # the non-crossfade kernel (constant per-block filters make
-            # the crossfade the identity — same reasoning as
-            # _scene_static_core).
-            y = _fused_render(table, xbs, dirs, config, n_fft,
-                              crossfade=False if static_dirs else None,
-                              static_dirs=static_dirs)
-            return jax.lax.psum(y, "src")
-
-        # Same structure as the single-chip _scene_fn: the shard's sources
-        # go scene_chunk at a time (no vmap-of-pallas; unchunked spectra
-        # for a big shard would re-create the measured 40× blowup), chunk
-        # spectra mix down in the frequency domain into the scan carry,
-        # and the irfft+OLA epilogue runs ONCE per shard before the psum
-        # (epilogue-then-psum also halves ICI bytes vs psumming spectra).
-        xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
-
-        if fusedb:
-            # Two-launch fused shard path (mirrors _scene_fn): the
-            # shard's whole sub-scene mixes inside ONE mix-kernel launch,
-            # then one fused inverse+OLA per shard before the psum.
-            cfgb = (config.replace(crossfade=False) if static_dirs
-                    else config)
-            Ysr, Ysi = _scene_spectra_fused(table, xbs, dirs, cfgb, n_fft)
-            y = _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
-            return jax.lax.psum(y, "src")
-
-        def chunk(acc, args):
-            xb, dr = args
-            if fused:
-                Y = jnp.sum(
-                    _trajectory_spectra_batched(table, xb, dr, config),
-                    axis=0)
-            else:
-                Y = jnp.sum(jax.vmap(
-                    lambda b, d: _trajectory_spectra_xla(table, b, d, config))(
-                        xb, dr), axis=0)
-            return acc + Y, None
-
-        zero = jnp.zeros((xbs.shape[1], 2, n_fft // 2 + 1), jnp.complex64)
-        Y, _ = jax.lax.scan(chunk, zero, (xc, dc))
-        y = _ola_ears(Y, n_fft, xbs.shape[-1], config)
-        # mixdown: psum over source shards only — inputs are replicated
-        # along "blk", so its replicas already hold identical values.
+        if static_dirs:
+            # per-source constant directions arrive broadcast to
+            # (S, nb, 2) for uniform sharding; the static core wants the
+            # (S, 2) originals (one gather + one filter per source)
+            y = _scene_static_core(table, xbs, dirs[:, 0], config)
+        else:
+            y = _scene_core(table, xbs, dirs, config)
         return jax.lax.psum(y, "src")
 
     return fn(table, xbs, dirs)
@@ -120,24 +70,32 @@ def render_scene_sharded(table: HrirTable, xs, dirs, mesh: Mesh,
     `BinauralRenderer.render_scene` (same helper, same linearity
     argument) before the shards are cut.
     """
-    from ..models.renderer import _dedupe_sources
+    from ..models.renderer import _bucket_nb, _dedupe_sources
 
     B = config.block_size
     xs = np.asarray(xs, dtype=np.float32)
     if dedupe:
         xs, dirs = _dedupe_sources(xs, np.asarray(dirs, np.float32), config)
     S, N = xs.shape
-    nb = -(-N // B)
+    nb0 = -(-N // B)
+    # quarter-octave block-count bucketing, same as every single-chip
+    # entry point (round-5 review: the sharded paths recompiled per
+    # distinct length — padded blocks are silent and trimmed below)
+    nb = _bucket_nb(nb0)
 
     total = mesh.shape["src"]
     s_pad = -(-S // total) * total
     xbs = np.zeros((s_pad, nb, B), dtype=np.float32)
-    xbs[:S, :, : B] = np.pad(xs, [(0, 0), (0, nb * B - N)]).reshape(S, nb, B)
+    xbs[:S, :, : B] = np.pad(
+        xs, [(0, 0), (0, nb * B - N)]).reshape(S, nb, B)
 
     dirs = np.asarray(dirs, dtype=np.float32)
     static_dirs = dirs.ndim == 2  # per-source constant direction
     if static_dirs:
         dirs = np.broadcast_to(dirs[:, None, :], (S, nb, 2))
+    elif nb > nb0:  # moving tracks: padded (silent) blocks hold the
+        dirs = np.concatenate(  # last direction
+            [dirs, np.broadcast_to(dirs[:, -1:], (S, nb - nb0, 2))], axis=1)
     dirs_p = np.zeros((s_pad, nb, 2), dtype=np.float32)
     dirs_p[:S] = dirs
 
