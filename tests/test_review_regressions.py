@@ -185,3 +185,93 @@ def test_partitioned_scan_honors_fft_filter_path(rng):
     s = Stream(long_table, cfg)
     ref = np.asarray(s.render_offline(x, dirs))
     assert snr_db(ref, y) > 100
+
+
+def test_stream_xla_step_defers_long_partitions_to_fft(table, rng):
+    """The XLA streaming step's filter assembly mirrors _partitioned_core's
+    matmul-vs-fft deferral (round-5 review: it built the O(taps·FL)
+    partition zoom matrices unconditionally — hundreds of MB at BRIR
+    taps, an OOM at second-long filters). Asserts the routing rule
+    directly and golden parity through the fft-chain branch."""
+    import jax.numpy as jnp
+
+    import tinaural.models.streaming as ms
+    from tinaural.data import load_hrir_set
+    from tinaural.models.streaming import (_n_parts, _step_core_xla,
+                                           init_state)
+
+    t2 = load_hrir_set("synthetic", taps=2048)
+    cfg = RenderConfig(stream_block=256, use_pallas=False)
+    assert _n_parts(t2, cfg) > 4
+
+    seen = {}
+    real = ms.filter_partitions
+
+    def spy(*a, **k):
+        seen["use_matmul"] = k.get("use_matmul")
+        return real(*a, **k)
+
+    ms.filter_partitions, orig = spy, ms.filter_partitions
+    try:
+        tbl = jax.device_put(t2)
+        st = init_state(t2, cfg)
+        g = golden.GoldenStream(t2, RenderConfig(stream_block=256))
+        for i in range(2):
+            xb = rng.standard_normal(256).astype(np.float32)
+            st, y = jax.jit(
+                lambda s, x, a: _step_core_xla(tbl, s, x, a,
+                                               jnp.float32(5.0), cfg))(
+                st, jnp.asarray(xb), jnp.float32(30.0 + 10 * i))
+            ref = g.push(xb.astype(np.float64), 30.0 + 10 * i, 5.0)
+            assert snr_db(ref, np.asarray(y)) > 60, i
+        assert seen["use_matmul"] is False  # P>4 → fft chain
+    finally:
+        ms.filter_partitions = orig
+    # short filters (P<=4) keep the matmul partitions
+    ms.filter_partitions = spy
+    try:
+        cfg4 = RenderConfig(stream_block=256, use_pallas=False)
+        assert _n_parts(table, cfg4) <= 4
+        tbl1 = jax.device_put(table)
+        st = init_state(table, cfg4)
+        jax.jit(lambda s, x: _step_core_xla(
+            tbl1, s, x, jnp.float32(10.0), jnp.float32(0.0), cfg4))(
+            st, jnp.zeros(256, jnp.float32))
+        assert seen["use_matmul"] is True
+    finally:
+        ms.filter_partitions = orig
+
+
+def test_render_batch_fft_path_avoids_vmapped_fused_epilogue(table, rng):
+    """render_batch on filter_path="fft" (fused epilogue eligible, block
+    kernels not) must NOT vmap _trajectory_core into the fused epilogue —
+    vmap over the fused kernels is forbidden (round-5 review). Asserts
+    the epilogue kernel never runs under this route and output parity."""
+    import tinaural.models.renderer as mr
+    from tinaural.models import BinauralRenderer
+
+    cfg = RenderConfig(block_size=1024, filter_path="fft", use_pallas=True,
+                       pallas_interpret=True)
+    calls = {"n": 0}
+    real = mr._fused_ola_ears
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    mr._fused_ola_ears = counting
+    try:
+        jax.clear_caches()
+        r = BinauralRenderer(table, cfg)
+        xs = rng.standard_normal((3, 3000)).astype(np.float32)
+        dirs = np.stack([np.array([30.0, 120.0, 250.0]),
+                         np.array([0.0, -10.0, 40.0])], 1)
+        y = np.asarray(r.render_batch(xs, dirs))
+    finally:
+        mr._fused_ola_ears = real
+    assert calls["n"] == 0, "fused epilogue ran under the vmapped fallback"
+    for s in range(3):
+        ref = golden.render_static(table, xs[s], dirs[s, 0], dirs[s, 1],
+                                   RenderConfig(block_size=1024))
+        n = min(ref.shape[-1], y.shape[-1])
+        assert snr_db(ref[:, :n], y[s, :, :n]) > 60, s

@@ -626,8 +626,11 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
 
     FFT frame stays 2·B regardless of filter length (P partitions), so
     this path renders arbitrarily long HRIRs/BRIRs; it also IS the
-    offline equivalent of `Stream.render_offline`, batched instead of
-    scanned (parity tested against GoldenStream block by block).
+    offline equivalent of `Stream.render_offline` AT DEFAULT KNOBS,
+    batched instead of scanned (parity tested against GoldenStream
+    block by block). Rate knobs differ by design: this route reads
+    ``dir_rate`` (snapping below), the streams read
+    ``stream_update_rate`` — see `render_streamed`'s docstring.
     """
     from ..ops.filters import filter_partitions
     from ..ops.partitioned import (frame_spectra, overlap_save_tail,
@@ -831,7 +834,15 @@ def _batch_core(table, xbs, dirs, config):
         if fused:
             Y = _trajectory_spectra_batched(table, xb, dr, config)
             return _epilogue_batched(Y, B, n_fft, config)
-        return jax.vmap(lambda b, d: _trajectory_core(table, b, d, config))(xb, dr)
+        # pure-XLA fallback (non-matmul filter paths): the vmapped core
+        # must NOT reach the fused epilogue — vmap over the fused
+        # kernels is forbidden (their OLA carries grid state); the
+        # sanctioned batching is the flattened `first`-mask form the
+        # fused branch above uses (round-5 review finding).
+        cfg_v = (config.replace(fuse_epilogue=False)
+                 if _use_fused_epilogue(config, n_fft, B) else config)
+        return jax.vmap(
+            lambda b, d: _trajectory_core(table, b, d, cfg_v))(xb, dr)
 
     y = jax.lax.map(chunk, (xc, dc))  # (n_chunks, ch, 2, out)
     return y.reshape(-1, *y.shape[2:])[:S]
@@ -857,7 +868,6 @@ def _scene_core(table, xbs, dirs, config):
     and one irfft+OLA epilogue per scene. The source axis is the same
     axis `tinaural.parallel` shards across devices (BASELINE.json:10)."""
     dirs = _snap_dirs(dirs, config.dir_rate)
-    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
     taps = table.h.shape[-1]
     nb, B = xbs.shape[1], xbs.shape[-1]
     n_fft = next_pow2(B + taps + DELAY_PAD - 1)
@@ -870,6 +880,10 @@ def _scene_core(table, xbs, dirs, config):
     if fusedb:
         Ysr, Ysi = _scene_spectra_fused(table, xbs, dirs, config, n_fft)
         return _fused_ola_from_planes(Ysr, Ysi, n_fft, B, config)
+
+    # chunk only on the fallback routes (the fused returns above never
+    # use the copies — _scene_static_core already orders it this way)
+    xc, dc = _chunked_sources(xbs, dirs, config.scene_chunk)
 
     def chunk(acc, args):
         xb, dr = args
@@ -1068,11 +1082,19 @@ class BinauralRenderer:
     # -- batched partitioned convolution (streaming semantics, offline)
 
     def render_streamed(self, x, dirs) -> jax.Array:
-        """Exactly what `Stream.push` would produce block by block, but as
-        ONE batched partitioned-convolution device call (BASELINE.json:10
+        """What `Stream.push` would produce block by block, but as ONE
+        batched partitioned-convolution device call (BASELINE.json:10
         "batched partitioned convolution"; frame = 2·stream_block, so
         filter length never grows the FFT size). x: (N,), N a multiple of
-        config.stream_block; dirs: (n_blocks, 2) → (2, N)."""
+        config.stream_block; dirs: (n_blocks, 2) → (2, N).
+
+        The push-for-push equivalence holds at the default knobs. The
+        two paths read DIFFERENT rate knobs by design: this offline
+        route honors ``dir_rate`` (snapped track, golden.snap_dirs) and
+        ignores ``stream_update_rate``; the streaming classes honor
+        ``stream_update_rate`` (hold steps, golden push_held) and never
+        snap. At either knob > 1 the outputs legitimately differ —
+        compare offline-vs-stream only with both knobs at 1."""
         B = self.config.stream_block
         x = np.asarray(x, dtype=np.float32)
         if x.ndim != 1:

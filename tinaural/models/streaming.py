@@ -91,11 +91,22 @@ def init_state(table: HrirTable, config: RenderConfig) -> StreamState:
 
 def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     """Direction → (P, 2, B+1) rfft spectra of the hop-partitioned
-    effective filter (per-block HRTF update of BASELINE.json:11)."""
+    effective filter (per-block HRTF update of BASELINE.json:11).
+
+    Same matmul-vs-fft deferral rule as `_partitioned_core`
+    (renderer.py): "matmul" means "fastest measured", and past 4
+    partitions the partition zoom matrices grow O(taps·FL) — at BRIR
+    lengths they are hundreds of MB (round-5 review: the XLA step used
+    to build them unconditionally, an HBM OOM at long taps on any shape
+    the fused step rejects), where the fft chain renders the identical
+    linear map cheaply."""
     B = config.stream_block
+    P = _n_parts(table, config)
+    use_mm = (config.filter_path == "hybrid"
+              or (config.filter_path == "matmul" and P <= 4))
     h, d, g = interpolate(table, az, el, config)
     return filter_partitions(h, d, g, table.h.shape[-1], B,
-                             use_matmul=config.filter_path != "fft",
+                             use_matmul=use_mm,
                              pack=config.fft_pack != "off",
                              impl=config.fft_impl)
 
@@ -168,6 +179,19 @@ def _fused_batch_hold(state: StreamState, xbs: jax.Array,
                        started=jnp.ones((S,), jnp.float32)), y
 
 
+def _irfft_tail(Y: jax.Array, B: int, config: RenderConfig) -> jax.Array:
+    """Packed-ears inverse + OLS tail: (2, F) spectrum → (2, B) block.
+    ONE copy shared by the update step's non-crossfade branch and the
+    hold step — drift between the two would silently break the golden
+    parity between `push` and `push_held` (round-5 review)."""
+    if config.fft_pack == "both":
+        from ..ops.fftpack import irfft_pair
+
+        y0, y1 = irfft_pair(Y[0], Y[1], 2 * B, impl=config.fft_impl)
+        return jnp.stack([y0[B:], y1[B:]], axis=0)
+    return jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]
+
+
 def _hold_core_xla(state: StreamState, xb: jax.Array, config: RenderConfig):
     """Hold-filter XLA step — mirrors `GoldenStream.push_held` in f32:
     advance the FDL one block and render under the carried partitions.
@@ -179,13 +203,7 @@ def _hold_core_xla(state: StreamState, xb: jax.Array, config: RenderConfig):
     fdl = jnp.concatenate([X[None, :], prev_fdl[:-1]], axis=0)
     H = jax.lax.complex(state.prev_h_re, state.prev_h_im)
     Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
-    if config.fft_pack == "both":
-        from ..ops.fftpack import irfft_pair
-
-        y0, y1 = irfft_pair(Y[0], Y[1], 2 * B, impl=config.fft_impl)
-        y = jnp.stack([y0[B:], y1[B:]], axis=0)
-    else:
-        y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]
+    y = _irfft_tail(Y, B, config)
     return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
                        prev_h_re=state.prev_h_re, prev_h_im=state.prev_h_im,
                        started=jnp.ones((), dtype=jnp.float32)), y
@@ -236,13 +254,7 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         y = w * yn + (1.0 - w) * yp
     else:
         Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
-        if config.fft_pack == "both":
-            from ..ops.fftpack import irfft_pair
-
-            y0, y1 = irfft_pair(Y[0], Y[1], 2 * B, impl=config.fft_impl)
-            y = jnp.stack([y0[B:], y1[B:]], axis=0)
-        else:
-            y = jnp.fft.irfft(Y, n=2 * B, axis=-1)[:, B:]  # OLS tail
+        y = _irfft_tail(Y, B, config)  # OLS tail, shared with the hold step
     return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
                        prev_h_re=H.real, prev_h_im=H.imag,
                        started=jnp.ones((), dtype=jnp.float32)), y
@@ -318,8 +330,11 @@ def _batch_scan_core(table, state, xbs, azs, els, config):
 
     xbs (K, S, B), azs/els (K, S) → (state', ys (K, S, 2, B)) — the
     lax.scan analog of `_scan_core` with a leading stream axis; each
-    step is the same `_batch_step_core` the per-block push uses, so the
-    result is bit-identical to K sequential pushes.
+    update step is the same `_batch_step_core` the per-block push uses,
+    so at stream_update_rate=1 (the default) the result is bit-identical
+    to K sequential pushes. At k>1 it is NOT: held pushes render under
+    the carried filter (single-block `push` always updates) — the
+    equivalence is to the golden push/push_held schedule instead.
     """
 
     k = config.stream_update_rate
@@ -392,6 +407,10 @@ class BatchedStream:
         if blocks.shape != (self.n_streams, B):
             raise ValueError(
                 f"blocks must be ({self.n_streams}, {B}), got {blocks.shape}")
+        if azs.shape != (self.n_streams,) or els.shape != azs.shape:
+            raise ValueError(  # same contract clarity as push_many
+                f"azs/els must be ({self.n_streams},), got "
+                f"{azs.shape}/{els.shape}")
         self._state, y = _batch_step_fn(self.table, self._state, blocks,
                                         azs, els, self.config)
         return y
@@ -400,10 +419,12 @@ class BatchedStream:
         """Advance every stream K blocks in ONE device call.
 
         blocks: (K, S, B); azs, els: (K, S), or (S,) to hold each
-        listener's direction constant over the burst → (K, S, 2, B),
-        matching K sequential `push` calls (state advances K blocks;
-        bit-identical on the fused-kernel route, float-exact on the XLA
-        route where the scan body compiles with different fusion).
+        listener's direction constant over the burst → (K, S, 2, B). At
+        stream_update_rate=1 (the default) this matches K sequential
+        `push` calls (state advances K blocks; bit-identical on the
+        fused-kernel route, float-exact on the XLA route where the scan
+        body compiles with different fusion); at k>1 it does NOT match
+        sequential pushes — see the last paragraph.
 
         This is the sustained-serving entry point: a deployment that
         queues K blocks per listener pays ONE dispatch (and one
