@@ -661,13 +661,16 @@ def test_filter_fft_long_taps_parity(rng):
 def test_fused_stream_hold_matches_xla_hold(table, rng):
     """Direct hold-kernel parity: after one assembling push populates
     the FDL and carried partitions, chained `fused_stream_hold` calls ==
-    the XLA `_hold_core_xla` per push, across chunk values that exercise
-    the padded-tail path (S not a multiple of the chunk)."""
+    the XLA `_hold_core_xla` per push. S=20 with chunks (8, 16) makes
+    the grid MULTI-chunk (nch = 3 and 2) AND leaves padded tail rows
+    (4 and 12) — the chunk-major packing must survive chunk boundaries,
+    not just one grid step (round-5 review: the old S=5 case always
+    collapsed to a single chunk)."""
     from tinaural.models.streaming import (_batch_step_core, _hold_core_xla,
                                            init_state)
     from tinaural.ops.pallas_kernels import fused_stream_hold
 
-    B, S = 256, 5
+    B, S = 256, 20
     cfg = RenderConfig(stream_block=B)
     tbl = jax.device_put(table)
     state = jax.vmap(lambda _: init_state(tbl, cfg))(jnp.arange(S))
@@ -676,7 +679,7 @@ def test_fused_stream_hold_matches_xla_hold(table, rng):
     xb0 = jnp.asarray(rng.standard_normal((S, B)).astype(np.float32))
     state, _ = _batch_step_core(tbl, state, xb0, azs, els, cfg)
 
-    for chunk in (8, 16):  # 5 streams → 3/11 rows of padding
+    for chunk in (8, 16):  # 20 streams → nch 3 / 2, padding 4 / 12 rows
         st_k = state
         st_x = state
         for step in range(3):

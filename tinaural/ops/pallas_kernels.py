@@ -2071,10 +2071,15 @@ def _stream_hold_kernel(Sp: int, B: int, F2p: int, P: int, precision,
 def stream_hold_vmem_bytes(block: int, n_parts: int, chunk: int) -> int:
     """VMEM footprint of the hold-filter streaming step at a given
     per-grid-step stream chunk: the conv-core working set of
-    `stream_step_vmem_bytes` minus every assembly term. Used by
-    `tinaural.ops.vmem.stream_hold_chunk` to pick the largest chunk
-    that fits — hold is strictly lighter than either assembling
-    variant, so eligibility itself follows the parent step's gate."""
+    `stream_step_vmem_bytes` minus the assembly terms. The crossfade-
+    sized conv terms are deliberately RETAINED as slack even though the
+    hold kernel runs crossfade=False (no second MAC, half the Yall rows)
+    — the estimators are calibrated conservative against Mosaic's
+    liveness reuse, and trimming them without an on-chip probe risks
+    the round-4 over-admission failure mode. Cost: at the 2048-tap BRIR
+    serving shape (block 256, P=9) the slack drops the chunk from 64 to
+    32; the chunk ladder script can probe 64 on chip via the explicit
+    `chunk=` override. Used by `tinaural.ops.vmem.stream_hold_chunk`."""
     F2 = block + 1
     F2p = _round_up(F2, 128)
     P = n_parts
@@ -2109,6 +2114,62 @@ def stream_step_vmem_bytes(taps: int, block: int, n_streams: int) -> int:
 
 
 _STREAM_ASM_CHUNK = 16  # streams per grid step of the asm-mode kernel
+
+
+class _StreamPack:
+    """Chunk-major state packing shared by the streaming kernels. The
+    update step and the hold step consume/produce the SAME layout within
+    one `lax.scan` — keeping one implementation is what guarantees their
+    state compatibility at stream_update_rate > 1 (round-5 review: the
+    hold launcher carried a verbatim copy of these closures)."""
+
+    def __init__(self, S: int, SC: int, F2: int, F2p: int, P: int):
+        self.Sp = _round_up(max(S, 1), SC)
+        self.ps = self.Sp - S
+        self.nch = self.Sp // SC
+        self.SC, self.F2, self.F2p, self.P = SC, F2, F2p, P
+
+    def pad_s(self, z):  # zero-pad the stream axis S → Sp
+        return jnp.pad(z, [(0, self.ps)] + [(0, 0)] * (z.ndim - 1))
+
+    def ear_rows(self, z, lanes):  # (Sp, 2, lanes) → (2·Sp, lanes)
+        z = z.reshape(self.nch, self.SC, 2, lanes).transpose(0, 2, 1, 3)
+        return z.reshape(2 * self.Sp, lanes)
+
+    def fdl_lanes(self, z):  # (S, P, F2) → (Sp, P·F2p)
+        z = jnp.pad(z, [(0, self.ps), (0, 0), (0, self.F2p - self.F2)])
+        return z.reshape(self.Sp, self.P * self.F2p)
+
+    def ph_planes(self, zr, zi):
+        # prev_h (S, P, 2, F2) re/im → chunk-major plane rows (2·Sp, P·2F2p)
+        pf = self.F2p - self.F2
+        zr = jnp.pad(zr, [(0, self.ps), (0, 0), (0, 0), (0, pf)])
+        zi = jnp.pad(zi, [(0, self.ps), (0, 0), (0, 0), (0, pf)])
+        z = jnp.stack([zr, zi], axis=-2)      # (Sp, P, 2ear, 2reim, F2p)
+        z = z.transpose(0, 2, 1, 3, 4)        # (Sp, 2ear, P, 2reim, F2p)
+        return self.ear_rows(z.reshape(self.Sp, 2, self.P * 2 * self.F2p),
+                             self.P * 2 * self.F2p)
+
+    def un_ear_rows(self, z):  # chunk-major (2·Sp, lanes) → (Sp, 2, lanes)
+        z = z.reshape(self.nch, 2, self.SC, -1).transpose(0, 2, 1, 3)
+        return z.reshape(self.Sp, 2, z.shape[-1])
+
+
+def _stream_packing(S: int, SC: int, F2: int, F2p: int, P: int):
+    pk = _StreamPack(S, SC, F2, F2p, P)
+    return pk.Sp, pk.nch, pk
+
+
+def _stream_row_specs(SC: int):
+    """The streaming kernels' grid BlockSpecs: one-stream-chunk rows,
+    two-ear rows, and whole-array constants."""
+    row1 = lambda n: pl.BlockSpec((SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    row2 = lambda n: pl.BlockSpec((2 * SC, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return row1, row2, const
 
 
 def stream_asm_vmem_bytes(taps: int, block: int, n_streams: int,
@@ -2193,46 +2254,20 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
     SC = chunk if chunk is not None else (
         min(_STREAM_ASM_CHUNK, _round_up(max(S, 1), 8)) if use_asm
         else min(64, _round_up(max(S, 1), 8)))
-    Sp = _round_up(max(S, 1), SC)
-    ps = Sp - S
-    nch = Sp // SC
+    Sp, nch, pk = _stream_packing(S, SC, F2, F2p, P)
 
-    def pad_s(z):  # zero-pad the stream axis S → Sp
-        return jnp.pad(z, [(0, ps)] + [(0, 0)] * (z.ndim - 1))
+    hR = pk.ear_rows(
+        pk.pad_s(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)])), taps_p)
+    dR = pk.ear_rows(pk.pad_s(d[..., None]), 1)
+    gR = pk.ear_rows(pk.pad_s(g[..., None]), 1)
 
-    def ear_rows(z, lanes):  # (Sp, 2, lanes) → (2·Sp, lanes), chunk-major
-        z = z.reshape(nch, SC, 2, lanes).transpose(0, 2, 1, 3)
-        return z.reshape(2 * Sp, lanes)
+    phR = pk.ph_planes(ph_re, ph_im)
+    stS = jnp.pad(started.astype(jnp.float32), [(0, Sp - S)])
+    st = pk.ear_rows(jnp.stack([stS, stS], axis=1)[..., None], 1)  # (2·Sp, 1)
+    xbP = pk.pad_s(xb)
+    pvP = pk.pad_s(prev_in)
 
-    hR = ear_rows(pad_s(jnp.pad(h, [(0, 0), (0, 0), (0, taps_p - taps)])),
-                  taps_p)
-    dR = ear_rows(pad_s(d[..., None]), 1)
-    gR = ear_rows(pad_s(g[..., None]), 1)
-
-    def fdl_lanes(z):  # (S, P, F2) → (Sp, P·F2p)
-        z = jnp.pad(z, [(0, ps), (0, 0), (0, F2p - F2)])
-        return z.reshape(Sp, P * F2p)
-
-    # prev_h (S, P, 2, F2) re/im → chunk-major plane rows (2·Sp, P·2F2p)
-    def ph_planes(zr, zi):
-        zr = jnp.pad(zr, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
-        zi = jnp.pad(zi, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
-        z = jnp.stack([zr, zi], axis=-2)      # (Sp, P, 2ear, 2reim, F2p)
-        z = z.transpose(0, 2, 1, 3, 4)        # (Sp, 2ear, P, 2reim, F2p)
-        return ear_rows(z.reshape(Sp, 2, P * 2 * F2p), P * 2 * F2p)
-
-    phR = ph_planes(ph_re, ph_im)
-    stS = jnp.pad(started.astype(jnp.float32), [(0, ps)])
-    st = ear_rows(jnp.stack([stS, stS], axis=1)[..., None], 1)  # (2·Sp, 1)
-    xbP = jnp.pad(xb, [(0, ps), (0, 0)])
-    pvP = jnp.pad(prev_in, [(0, ps), (0, 0)])
-
-    row1 = lambda n: pl.BlockSpec((SC, n), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    row2 = lambda n: pl.BlockSpec((2 * SC, n), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)
+    row1, row2, const = _stream_row_specs(SC)
     dfj, dij = jnp.asarray(DFTr), jnp.asarray(DI)
     out_specs = (row2(block), row1(P * F2p), row1(P * F2p),
                  row2(P * 2 * F2p))
@@ -2244,7 +2279,7 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
                   row1(P * F2p), row1(P * F2p),
                   row2(P * 2 * F2p), row2(1),
                   row2(taps_p), row2(1), row2(1)]
-    data = (pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, st,
+    data = (pvP, xbP, pk.fdl_lanes(fdl_re), pk.fdl_lanes(fdl_im), phR, st,
             hR, dR, gR)
     if use_asm:
         from .filters import DELAY_PAD
@@ -2282,14 +2317,11 @@ def fused_stream_step(h, d, g, xb, prev_in, fdl_re, fdl_im,
 
     yR, nfr, nfi, nh = outs
 
-    def un_ear_rows(z):  # chunk-major (2·Sp, lanes) → (Sp, 2, lanes)
-        z = z.reshape(nch, 2, SC, -1).transpose(0, 2, 1, 3)
-        return z.reshape(Sp, 2, z.shape[-1])
-
-    y = un_ear_rows(yR)[:S]  # (S, 2, B)
+    y = pk.un_ear_rows(yR)[:S]  # (S, 2, B)
     fdl_re2 = nfr.reshape(Sp, P, F2p)[:S, :, :F2]
     fdl_im2 = nfi.reshape(Sp, P, F2p)[:S, :, :F2]
-    nh = un_ear_rows(nh).reshape(Sp, 2, P, 2, F2p)  # (Sp, ear, P, reim, F2p)
+    nh = pk.un_ear_rows(nh).reshape(
+        Sp, 2, P, 2, F2p)  # (Sp, ear, P, reim, F2p)
     ph_re2 = nh[:S, :, :, 0].transpose(0, 2, 1, 3)[..., :F2]  # (S, P, 2, F2)
     ph_im2 = nh[:S, :, :, 1].transpose(0, 2, 1, 3)[..., :F2]
     return y, fdl_re2, fdl_im2, ph_re2, ph_im2
@@ -2322,31 +2354,14 @@ def fused_stream_hold(xb, prev_in, fdl_re, fdl_im, ph_re, ph_im,
     from .vmem import stream_hold_chunk
 
     SC = chunk if chunk is not None else stream_hold_chunk(block, P, S)
-    Sp = _round_up(max(S, 1), SC)
-    ps = Sp - S
-    nch = Sp // SC
+    # the SAME packing as fused_stream_step — the two steps exchange
+    # state within one scan (see _StreamPack)
+    Sp, nch, pk = _stream_packing(S, SC, F2, F2p, P)
+    phR = pk.ph_planes(ph_re, ph_im)
+    xbP = pk.pad_s(xb)
+    pvP = pk.pad_s(prev_in)
 
-    def ear_rows(z, lanes):  # (Sp, 2, lanes) → (2·Sp, lanes), chunk-major
-        z = z.reshape(nch, SC, 2, lanes).transpose(0, 2, 1, 3)
-        return z.reshape(2 * Sp, lanes)
-
-    def fdl_lanes(z):  # (S, P, F2) → (Sp, P·F2p)
-        z = jnp.pad(z, [(0, ps), (0, 0), (0, F2p - F2)])
-        return z.reshape(Sp, P * F2p)
-
-    zr = jnp.pad(ph_re, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
-    zi = jnp.pad(ph_im, [(0, ps), (0, 0), (0, 0), (0, F2p - F2)])
-    z = jnp.stack([zr, zi], axis=-2).transpose(0, 2, 1, 3, 4)
-    phR = ear_rows(z.reshape(Sp, 2, P * 2 * F2p), P * 2 * F2p)
-    xbP = jnp.pad(xb, [(0, ps), (0, 0)])
-    pvP = jnp.pad(prev_in, [(0, ps), (0, 0)])
-
-    row1 = lambda n: pl.BlockSpec((SC, n), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    row2 = lambda n: pl.BlockSpec((2 * SC, n), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)
+    row1, row2, const = _stream_row_specs(SC)
     DFTr, DI = _stream_frame_mats(block)
     dfj, dij = jnp.asarray(DFTr), jnp.asarray(DI)
     yR, nfr, nfi = pl.pallas_call(
@@ -2359,10 +2374,9 @@ def fused_stream_hold(xb, prev_in, fdl_re, fdl_im, ph_re, ph_im,
                    jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32),
                    jax.ShapeDtypeStruct((Sp, P * F2p), jnp.float32)),
         interpret=interpret,
-    )(pvP, xbP, fdl_lanes(fdl_re), fdl_lanes(fdl_im), phR, dfj, dij)
+    )(pvP, xbP, pk.fdl_lanes(fdl_re), pk.fdl_lanes(fdl_im), phR, dfj, dij)
 
-    y = yR.reshape(nch, 2, SC, block).transpose(0, 2, 1, 3)
-    y = y.reshape(Sp, 2, block)[:S]
+    y = pk.un_ear_rows(yR)[:S]  # (S, 2, B)
     fdl_re2 = nfr.reshape(Sp, P, F2p)[:S, :, :F2]
     fdl_im2 = nfi.reshape(Sp, P, F2p)[:S, :, :F2]
     return y, fdl_re2, fdl_im2

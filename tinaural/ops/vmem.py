@@ -158,11 +158,17 @@ def fits_stream(taps: int, block: int, n_streams: int) -> bool:
 def stream_hold_chunk(block: int, n_parts: int, n_streams: int) -> int:
     """Per-grid-step stream chunk for the HOLD-filter streaming step
     (`fused_stream_hold` — the no-assembly `stream_update_rate` step):
-    the largest tile in {64, 32, 16, 8} whose conv-core-only footprint
-    fits `KERNEL_BUDGET`, capped at the (8-rounded) batch size so small
+    the largest tile in {64, 32, 16, 8} whose footprint estimate fits
+    `KERNEL_BUDGET`, capped at the (8-rounded) batch size so small
     batches stay compact. Hold's working set is a strict subset of
-    either assembling variant's at the same chunk, so any shape
-    `fits_stream` admits fits here at chunk ≥ the parent's."""
+    either assembling variant's AT THE SAME CHUNK; the models gate
+    (`fits_stream`) admits zoom parents against KERNEL_BUDGET and asm
+    parents against the larger ASM_BUDGET, so the hold chunk is chosen
+    independently here rather than inherited. Raises when nothing fits
+    — with_xla_fallback treats ValueError as a user-contract error and
+    never silently demotes on it (round-5 review: the old `return 8`
+    tail could hand an over-budget chunk to a direct caller, turning a
+    real VMEM exhaustion into a sticky demotion)."""
     from .pallas_kernels import stream_hold_vmem_bytes
 
     cap = max(8, -(-max(n_streams, 1) // 8) * 8)
@@ -170,7 +176,11 @@ def stream_hold_chunk(block: int, n_parts: int, n_streams: int) -> int:
         sc = min(sc, cap)
         if stream_hold_vmem_bytes(block, n_parts, sc) < KERNEL_BUDGET:
             return sc
-    return 8
+    raise ValueError(
+        f"fused_stream_hold: no chunk fits KERNEL_BUDGET at block={block}, "
+        f"P={n_parts} (estimate "
+        f"{stream_hold_vmem_bytes(block, n_parts, 8)} B at chunk 8); "
+        "route via models.streaming, which gates on vmem.fits_stream")
 
 
 # ------------------------------------------------- Mosaic-failure fallback
