@@ -93,3 +93,23 @@ def test_circular_sweep():
     d = circular_sweep(8, 0, 360, elevation=5.0)
     assert d.shape == (8, 2)
     assert np.all(d[:, 1] == 5.0)
+
+
+def test_circular_sweep_wraps_forward():
+    """az_end <= az_start wraps forward through 0/360 (round-5 review:
+    350→10 used to rotate 340° the long way behind the head)."""
+    d = circular_sweep(5, 350.0, 10.0)
+    assert np.allclose(d[:, 0], [350, 355, 0, 5, 10])
+    full = circular_sweep(5, 0.0, 360.0)  # explicit full turn unchanged
+    assert np.allclose(full[:, 0], [0, 90, 180, 270, 0])
+
+
+def test_cli_hrir_sr_resamples_table(tmp_path, rng):
+    """--hrir-sr makes a 48 kHz input renderable against the default
+    table (the old error message prescribed a flag that didn't exist)."""
+    p_in, p_out = tmp_path / "in48.wav", tmp_path / "out48.wav"
+    write_wav(p_in, 48000, np.clip(rng.standard_normal(4096) * 0.2, -1, 1))
+    assert main(["render", str(p_in), str(p_out), "--az", "45",
+                 "--hrir-sr", "48000"]) == 0
+    sr, y = read_wav(p_out)
+    assert sr == 48000 and y.shape[0] >= 4096

@@ -256,3 +256,68 @@ def test_malformed_sources_fail_cleanly(tmp_path):
     d2.mkdir()  # ring needs 1 file; none present
     with pytest.raises(FileNotFoundError, match="missing HRIR"):
         load_hrir_set(str(tmp_path))
+
+
+def test_sofa_loader_receiver_order_and_conventions(tmp_path):
+    """Round-5 review hardening: a SOFA file listing the RIGHT ear as
+    receiver 0 loads with ears swapped back to (L, R); a wrap-noisy
+    az=0 point (recorded just under 360) stays within ring tolerance;
+    cartesian SourcePosition is rejected with a clear message; radian
+    units convert."""
+    import h5py
+
+    h, g = synthesize_hrirs(taps=64, noise=0.0)
+    e_i = list(g.elevs).index(0.0)
+    ring = g.ring_azimuths(e_i)
+    rows, pos = [], []
+    for a_i, az in enumerate(ring):
+        rows.append(h[e_i, a_i][::-1])  # store as (R, L)
+        sofa_az = (360.0 - az) % 360.0
+        if a_i == 0:
+            sofa_az = 359.95  # wrap noise on the zero point
+        pos.append([sofa_az, 0.0, 1.4])
+    p = tmp_path / "swapped.sofa"
+    with h5py.File(p, "w") as f:
+        f["Data.IR"] = np.stack(rows)
+        sp = f.create_dataset("SourcePosition", data=np.array(pos))
+        sp.attrs["Type"] = np.bytes_("spherical")
+        sp.attrs["Units"] = np.bytes_("degree, degree, metre")
+        # right ear (y < 0) FIRST
+        rp = f.create_dataset(
+            "ReceiverPosition",
+            data=np.array([[0.0, -0.09, 0.0], [0.0, 0.09, 0.0]]))
+        rp.attrs["Type"] = np.bytes_("cartesian")
+        f["Data.SamplingRate"] = np.array([44100.0])
+    t = load_hrir_set(str(p), decompose=False)
+    assert snr_db(h[e_i, : len(ring)], np.asarray(t.h[0], np.float64)) > 120
+
+    # cartesian SourcePosition → loud, clear rejection
+    q = tmp_path / "cart.sofa"
+    with h5py.File(q, "w") as f:
+        f["Data.IR"] = np.stack(rows)
+        sp = f.create_dataset("SourcePosition", data=np.array(pos))
+        sp.attrs["Type"] = np.bytes_("cartesian")
+        f["Data.SamplingRate"] = np.array([44100.0])
+    with pytest.raises(ValueError, match="not supported"):
+        load_hrir_set(str(q))
+
+    # radian units convert on load
+    r = tmp_path / "radians.sofa"
+    pos_r = np.array(pos)
+    pos_r[:, :2] = np.radians(pos_r[:, :2])
+    with h5py.File(r, "w") as f:
+        f["Data.IR"] = np.stack([h[e_i, a_i] for a_i in range(len(ring))])
+        sp = f.create_dataset("SourcePosition", data=pos_r)
+        sp.attrs["Units"] = np.bytes_("radian, radian, metre")
+        f["Data.SamplingRate"] = np.array([44100.0])
+    t2 = load_hrir_set(str(r), decompose=False)
+    assert snr_db(h[e_i, : len(ring)], np.asarray(t2.h[0], np.float64)) > 120
+
+
+def test_wav_int16_rounds_not_truncates(tmp_path):
+    x = np.array([0.99996, -0.99996, 1.5e-5])
+    p = tmp_path / "q.wav"
+    write_wav(p, 44100, x)
+    _, y = read_wav(p)
+    q = np.round(x * (2.0**15 - 1)).astype(np.int16)
+    np.testing.assert_array_equal((y * 2.0**15).astype(np.int16), q)

@@ -28,6 +28,9 @@ from .utils.paths import circular_sweep, waypoints_to_block_dirs
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hrir", default="synthetic",
                    help="HRIR source: 'synthetic', a KEMAR directory, or a .sofa file")
+    p.add_argument("--hrir-sr", type=int, default=None, metavar="RATE",
+                   help="resample the HRIR table to this rate on load "
+                        "(match it to your audio's sample rate)")
     p.add_argument("--interp", choices=["nearest", "bilinear"], default="bilinear")
     p.add_argument("--no-itd", action="store_true", help="skip fractional-delay ITD")
     p.add_argument("--no-ild", action="store_true", help="skip ILD gain")
@@ -83,20 +86,26 @@ def _config(args) -> RenderConfig:
     )
 
 
+def _load_table(args, **kw):
+    return load_hrir_set(args.hrir,
+                         target_sample_rate=getattr(args, "hrir_sr", None),
+                         **kw)
+
+
 def _load_mono(path: str, table=None):
     sr, x = read_wav(path)
     if x.ndim > 1:
         x = x.mean(axis=1)  # downmix to mono
     if table is not None and sr != table.sample_rate:
         raise SystemExit(
-            f"{path}: sample rate {sr} != HRIR table rate {table.sample_rate}; "
-            f"load the table with --hrir + target_sample_rate matching, or "
-            f"resample the audio")
+            f"{path}: sample rate {sr} != HRIR table rate "
+            f"{table.sample_rate}; pass --hrir-sr {sr} to resample the "
+            f"table on load, or resample the audio")
     return sr, x
 
 
 def cmd_render(args) -> int:
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     cfg = _config(args)
     sr, x = _load_mono(args.input, table)
     if args.cpu_golden:
@@ -113,7 +122,7 @@ def cmd_render(args) -> int:
 
 
 def _render_trajectory(args, dirs_fn) -> int:
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     cfg = _config(args)
     sr, x = _load_mono(args.input, table)
     nb = -(-len(x) // cfg.block_size)
@@ -151,7 +160,7 @@ def cmd_scene(args) -> int:
     """Scene file: JSON list of {"wav": path, "az": deg, "el": deg}."""
     with open(args.scene) as f:
         spec = json.load(f)
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     cfg = _config(args)
     srs, sigs, dirs = set(), [], []
     for src in spec:
@@ -164,7 +173,8 @@ def cmd_scene(args) -> int:
     sr = srs.pop()
     if sr != table.sample_rate:
         raise SystemExit(
-            f"scene sample rate {sr} != HRIR table rate {table.sample_rate}")
+            f"scene sample rate {sr} != HRIR table rate "
+            f"{table.sample_rate}; pass --hrir-sr {sr}")
     n = max(len(x) for x in sigs)
     xs = np.zeros((len(sigs), n))
     for i, x in enumerate(sigs):
@@ -178,7 +188,7 @@ def cmd_scene(args) -> int:
 
         y = np.asarray(BinauralRenderer(table, cfg).render_scene(
             xs, np.asarray(dirs), dedupe=not args.no_dedupe))
-    write_wav(args.output, sr, y.T, normalize=True)
+    write_wav(args.output, sr, y.T, normalize=not args.no_normalize)
     print(f"wrote {args.output}: {len(sigs)} sources, {y.shape[1]} samples")
     return 0
 
@@ -186,20 +196,21 @@ def cmd_scene(args) -> int:
 def cmd_stream(args) -> int:
     """Simulate the real-time streaming loop: push the WAV block by block
     through the streaming renderer while the head rotates."""
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     cfg = _config(args).replace(stream_block=args.stream_block,
                                 stream_update_rate=args.update_rate)
     sr, x = _load_mono(args.input, table)
     B = cfg.stream_block
-    nb = len(x) // B
-    if nb == 0:
+    nb = -(-len(x) // B)  # zero-pad the tail like the trajectory path
+    if nb == 0:           # (truncation silently dropped up to B-1 samples)
         raise SystemExit(f"input shorter than one block ({B} samples)")
-    az = np.linspace(args.start_az, args.end_az, nb) % 360.0
+    x = np.pad(x, (0, nb * B - len(x)))
+    dirs = circular_sweep(nb, args.start_az, args.end_az, args.el)
     if args.cpu_golden:
         from .reference import golden
 
         s = golden.GoldenStream(table, cfg)
-        outs = [s.push(x[i * B : (i + 1) * B], float(az[i]), args.el)
+        outs = [s.push(x[i * B : (i + 1) * B], float(dirs[i, 0]), args.el)
                 if i % args.update_rate == 0
                 else s.push_held(x[i * B : (i + 1) * B])
                 for i in range(nb)]
@@ -208,9 +219,7 @@ def cmd_stream(args) -> int:
         from .models import Stream
 
         s = Stream(table, cfg)
-        y = np.asarray(
-            s.render_offline(x[: nb * B],
-                             np.stack([az, np.full(nb, args.el)], axis=1)))
+        y = np.asarray(s.render_offline(x, dirs))
     write_wav(args.output, sr, y.T, normalize=args.normalize)
     print(f"wrote {args.output}: {nb} blocks of {B} "
           f"({B / sr * 1e3:.2f} ms latency each)")
@@ -221,7 +230,7 @@ def cmd_export(args) -> int:
     """Preprocess an HRIR source into a .npz table (fast reload)."""
     from .data import save_table
 
-    table = load_hrir_set(args.hrir, decompose=not args.raw)
+    table = _load_table(args, decompose=not args.raw)
     save_table(args.output, table)
     print(f"wrote {args.output}: {table.h.shape} taps={table.taps} "
           f"decomposed={table.decomposed}")
@@ -237,7 +246,7 @@ def cmd_fit(args) -> int:
     from .data import save_table
     from .models.fit import fit_hrtf, personalize_table
 
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     cfg = _config(args)
     sr, x = _load_mono(args.input, table)
     sr_t, target = read_wav(args.target)
@@ -257,7 +266,7 @@ def cmd_fit(args) -> int:
 
 
 def cmd_info(args) -> int:
-    table = load_hrir_set(args.hrir)
+    table = _load_table(args)
     g = table.grid()
     print(f"source:      {args.hrir}")
     print(f"directions:  {g.n_directions} ({g.n_elevs} elevation rings, "
@@ -317,6 +326,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-dedupe", action="store_true",
                    help="render duplicate-direction sources individually "
                         "instead of pre-mixing them (exact either way)")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="keep absolute levels instead of peak-normalizing "
+                        "the mixdown (which may then clip in int16)")
     _add_common(p)
     p.set_defaults(fn=cmd_scene)
 

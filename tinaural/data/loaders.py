@@ -187,15 +187,51 @@ def _load_kemar_dir(root: str) -> tuple[np.ndarray, SphericalGrid]:
 # -------------------------------------------------------------------- SOFA
 
 
+def _attr_str(ds, name: str, default: str) -> str:
+    v = ds.attrs.get(name, default)
+    return v.decode() if isinstance(v, (bytes, np.bytes_)) else str(v)
+
+
 def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
     import h5py
 
     with h5py.File(path, "r") as f:
         ir = np.asarray(f["Data.IR"])  # (M, 2, T)
-        pos = np.asarray(f["SourcePosition"])  # (M, 3): az, el, r (deg)
+        pos = np.asarray(f["SourcePosition"])  # (M, 3): az, el, r
         sr = int(np.asarray(f["Data.SamplingRate"]).reshape(-1)[0])
+        # SOFA allows cartesian SourcePosition and radian units; reading
+        # them as spherical degrees would silently build a garbage grid
+        # (round-5 review). Absent attrs default to the SimpleFreeField
+        # convention the fixture files use.
+        sp_type = _attr_str(f["SourcePosition"], "Type", "spherical")
+        sp_units = _attr_str(f["SourcePosition"], "Units",
+                             "degree, degree, metre")
+        rp = (np.asarray(f["ReceiverPosition"])
+              if "ReceiverPosition" in f else None)
+        rp_type = (_attr_str(f["ReceiverPosition"], "Type", "cartesian")
+                   if rp is not None else "cartesian")
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(f"{path}: Data.IR must be (M, 2, T)")
+    if "spherical" not in sp_type.lower():
+        raise ValueError(
+            f"{path}: SourcePosition Type {sp_type!r} is not supported "
+            "(only 'spherical'); convert the file's source coordinates")
+    if "radian" in sp_units.lower():
+        pos = pos.copy()
+        pos[:, :2] = np.degrees(pos[:, :2])
+    # SOFA does not mandate receiver (ear) order — check ReceiverPosition
+    # when present (+y is the listener's LEFT) and swap to (L, R) if the
+    # file lists the right ear first (round-5 review: assuming order
+    # silently swapped every render's ears on such files).
+    if rp is not None and rp.shape[0] == 2:
+        rp2 = rp.reshape(2, 3, -1)[:, :, 0] if rp.ndim == 3 else rp[:, :3]
+        if "cartesian" in rp_type.lower():
+            left_y = rp2[:, 1]
+        else:  # spherical az/el/r (degrees): y = r·sin(az)·cos(el)
+            left_y = (rp2[:, 2] * np.sin(np.deg2rad(rp2[:, 0]))
+                      * np.cos(np.deg2rad(rp2[:, 1])))
+        if left_y[0] < left_y[1]:
+            ir = ir[:, ::-1]
     # SOFA's spherical convention is counterclockwise azimuth (90° = the
     # listener's LEFT); this framework uses the KEMAR-style clockwise
     # convention (90° = RIGHT). Convert on load.
@@ -206,15 +242,24 @@ def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
     counts, rings = [], []
     for e in elevs:
         sel = np.where(np.round(el, 3) == e)[0]
-        order = np.argsort(az[sel])
-        sel = sel[order]
         ring_az = az[sel]
         c = len(sel)
         spacing = 360.0 / c
-        if c > 1 and not np.allclose(ring_az, np.arange(c) * spacing, atol=spacing * 0.05):
-            raise ValueError(
-                f"{path}: elevation ring {e} is not equally spaced from az 0; "
-                "only ring-structured SOFA grids are supported")
+        if c > 1:
+            # slot-based check: each az must sit within tolerance of SOME
+            # multiple of the ring spacing, and the slots must cover the
+            # ring exactly once. (The old positional compare against
+            # sorted arange broke when measurement noise pushed the az=0
+            # point just below 360 — every element then shifted one slot
+            # and an in-tolerance file was rejected; round-5 review.)
+            slots = np.round(ring_az / spacing).astype(int) % c
+            err = np.abs(ring_az - np.round(ring_az / spacing) * spacing)
+            if err.max() > spacing * 0.05 or len(np.unique(slots)) != c:
+                raise ValueError(
+                    f"{path}: elevation ring {e} is not equally spaced "
+                    "from az 0; only ring-structured SOFA grids are "
+                    "supported")
+            sel = sel[np.argsort(slots)]
         counts.append(c)
         rings.append(sel)
     grid = SphericalGrid(elevs=elevs.astype(np.float64),

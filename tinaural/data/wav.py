@@ -48,7 +48,11 @@ def write_wav(path, sample_rate: int, samples: np.ndarray, dtype: str = "int16",
             x = x * (0.99 / peak)
     if dtype == "int16":
         x = np.clip(x, -1.0, 1.0)
-        wavfile.write(path, sample_rate, (x * (2.0**15 - 1)).astype(np.int16))
+        # round, don't truncate: astype's toward-zero truncation adds up
+        # to 1 LSB of signal-correlated, zero-biased error (~6 dB of
+        # quantization SNR)
+        wavfile.write(path, sample_rate,
+                      np.round(x * (2.0**15 - 1)).astype(np.int16))
     elif dtype == "float32":
         wavfile.write(path, sample_rate, x.astype(np.float32))
     else:

@@ -22,9 +22,15 @@ def fence(x) -> float:
     Device execution is in-order, so fencing the last output of a batch
     of dispatches fences the whole batch. Uses a 1-element device→host
     read — unlike `block_until_ready`, this is synchronous on every
-    backend, including the axon tunnel.
+    backend, including the axon tunnel. Complex leaves are split on
+    device first: the axon backend cannot d2h complex arrays at all
+    (machine quirk), and float() of a complex would raise anyway.
     """
+    import jax.numpy as jnp
+
     leaf = jax.tree.leaves(x)[-1]
+    if jnp.iscomplexobj(leaf):
+        leaf = jnp.real(leaf)  # on-device split; tiny eager op
     return float(np.asarray(leaf.ravel()[-1]))
 
 
@@ -56,20 +62,6 @@ def timeit(fn, iters: int = 5, warmup: int = 1) -> float:
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
-
-
-def steady_state(fn, k: int = 16) -> float:
-    """Per-call seconds with dispatch pipelining: run 1 call, then k calls,
-    fence each batch once; the marginal cost removes the fixed fence/RTT
-    overhead (large on tunneled backends)."""
-    fn(1)  # warm
-    t0 = time.perf_counter()
-    fn(1)
-    w1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fn(k)
-    wk = time.perf_counter() - t0
-    return max((wk - w1) / (k - 1), 1e-9)
 
 
 def marginal_cost(call, k1: int = 2, k2: int = 12, reps: int = 5) -> float:
