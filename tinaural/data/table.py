@@ -223,9 +223,12 @@ ALIGN_GUARD = 8.0
 DELAY_PAD = 64
 
 # Headroom the render path gives a (delay − ALIGN_GUARD) shift before
-# clipping: tinaural.ops.filters._clip_delay and golden.effective_filter
-# clip to DELAY_PAD − 16 samples.
-_MAX_RENDER_SHIFT = DELAY_PAD - 16.0
+# clipping. SINGLE SOURCE for the clip policy: imported by
+# tinaural.ops.filters._clip_delay and golden.effective_filter so the
+# loader guarantee ("decomposed delays never engage the render clip")
+# and the render clips can never drift apart.
+MAX_RENDER_SHIFT = DELAY_PAD - 16.0
+_MAX_RENDER_SHIFT = MAX_RENDER_SHIFT  # internal alias, kept for callers
 
 
 def decompose_table(h: np.ndarray, valid: np.ndarray, sample_rate: int):

@@ -202,7 +202,8 @@ def _hold_core_xla(state: StreamState, xb: jax.Array, config: RenderConfig):
     prev_fdl = jax.lax.complex(state.fdl_re, state.fdl_im)
     fdl = jnp.concatenate([X[None, :], prev_fdl[:-1]], axis=0)
     H = jax.lax.complex(state.prev_h_re, state.prev_h_im)
-    Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
+    Y = jnp.einsum("pf,pef->ef", fdl, H,
+                   precision=jax.lax.Precision.HIGHEST)  # (2, F)
     y = _irfft_tail(Y, B, config)
     return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
                        prev_h_re=state.prev_h_re, prev_h_im=state.prev_h_im,
@@ -239,8 +240,12 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         # the current filter on both sides)
         prev_H = jax.lax.complex(state.prev_h_re, state.prev_h_im)
         Hp = jnp.where(state.started > 0.5, prev_H, H)
-        Yn = jnp.einsum("pf,pef->ef", fdl, H)
-        Yp = jnp.einsum("pf,pef->ef", fdl, Hp)
+        # HIGHEST: the delay-line MAC is a dot_general; TPU default bf16
+        # multiplies cap parity at ~53 dB on this XLA fallback route.
+        Yn = jnp.einsum("pf,pef->ef", fdl, H,
+                        precision=jax.lax.Precision.HIGHEST)
+        Yp = jnp.einsum("pf,pef->ef", fdl, Hp,
+                        precision=jax.lax.Precision.HIGHEST)
         if config.fft_pack == "both":
             from ..ops.fftpack import irfft_pair
 
@@ -253,7 +258,8 @@ def _step_core_xla(table: HrirTable, state: StreamState, xb: jax.Array,
         w = (jnp.arange(B, dtype=yn.dtype) + 0.5) / B
         y = w * yn + (1.0 - w) * yp
     else:
-        Y = jnp.einsum("pf,pef->ef", fdl, H)  # (2, F)
+        Y = jnp.einsum("pf,pef->ef", fdl, H,
+                       precision=jax.lax.Precision.HIGHEST)  # (2, F)
         y = _irfft_tail(Y, B, config)  # OLS tail, shared with the hold step
     return StreamState(prev_in=xb, fdl_re=fdl.real, fdl_im=fdl.imag,
                        prev_h_re=H.real, prev_h_im=H.imag,

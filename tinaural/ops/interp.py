@@ -84,13 +84,17 @@ def gather_filters(table: HrirTable, eidx: jax.Array, aidx: jax.Array,
     h4 = jnp.take(table.h.reshape(E * A, *table.h.shape[2:]), flat, axis=0)
     d4 = jnp.take(table.delays.reshape(E * A, 2), flat, axis=0)
     g4 = jnp.take(table.gains.reshape(E * A, 2), flat, axis=0)
-    h = jnp.einsum("i,i...->...", w, h4)  # (2, T)
+    # HIGHEST: these contractions lower to dot_general; TPU default bf16
+    # multiplies would put ~2^-8 relative error on the blended shape and
+    # a fraction-of-a-sample error on the blended delays.
+    h = jnp.einsum("i,i...->...", w, h4,
+                   precision=jax.lax.Precision.HIGHEST)  # (2, T)
     if table.decomposed and config.apply_itd:
-        d = w @ d4  # (2,)
+        d = jnp.matmul(w, d4, precision=jax.lax.Precision.HIGHEST)  # (2,)
     else:
         d = jnp.full((2,), ALIGN_GUARD, dtype=jnp.float32)  # neutral: no shift
     if table.decomposed and config.apply_ild:
-        g = w @ g4  # (2,)
+        g = jnp.matmul(w, g4, precision=jax.lax.Precision.HIGHEST)  # (2,)
     else:
         g = jnp.ones((2,), dtype=jnp.float32)
     return h, d, g

@@ -28,15 +28,9 @@ def frame_spectra(xb: jax.Array, pack: bool = False,
     nb, B = xb.shape
     prev = jnp.concatenate([jnp.zeros((1, B), xb.dtype), xb[:-1]], axis=0)
     frames = jnp.concatenate([prev, xb], axis=-1)  # (nb, 2B)
-    if not pack:
-        return jnp.fft.rfft(frames, axis=-1)
-    from .fftpack import rfft_pair
+    from .fftpack import rfft_rows
 
-    nbp = nb + (nb % 2)
-    fr = jnp.pad(frames, ((0, nbp - nb), (0, 0)))
-    A, Bs = rfft_pair(fr[0::2], fr[1::2], 2 * B, impl=impl)  # (nbp/2, F)
-    X = jnp.stack([A, Bs], axis=1).reshape(nbp, B + 1)
-    return X[:nb]
+    return rfft_rows(frames, 2 * B, pack=pack, impl=impl)
 
 
 def tail_pair(Yn: jax.Array, Yp: jax.Array, B: int, impl: str = "xla"):
@@ -62,10 +56,16 @@ def shifted_stack(X: jax.Array, P: int) -> jax.Array:
 
 def partitioned_mac(Xs: jax.Array, H: jax.Array) -> jax.Array:
     """Delay-line MAC. Xs: (P, nb, F); H: (P, 2, F) static filter or
-    (nb, P, 2, F) per-block filters → (nb, 2, F)."""
+    (nb, P, 2, F) per-block filters → (nb, 2, F).
+
+    Precision.HIGHEST: this contraction lowers to a dot_general, and TPU
+    matmuls default to bf16 multiplies (~53 dB, under the 60 dB gate) —
+    this route is the XLA fallback no on-chip fused-parity gate covers."""
     if H.ndim == 3:
-        return jnp.einsum("pbf,pef->bef", Xs, H)
-    return jnp.einsum("pbf,bpef->bef", Xs, H)
+        return jnp.einsum("pbf,pef->bef", Xs, H,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pbf,bpef->bef", Xs, H,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def overlap_save_tail(Y: jax.Array, B: int, pack: bool = False,

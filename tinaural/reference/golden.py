@@ -43,7 +43,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import RenderConfig
-from ..data.table import ALIGN_GUARD, DELAY_PAD, HrirTable, delay_ramp
+from ..data.table import (ALIGN_GUARD, DELAY_PAD, MAX_RENDER_SHIFT,
+                          HrirTable, delay_ramp)
 
 
 def next_pow2(n: int) -> int:
@@ -93,12 +94,11 @@ def grid_weights(elevs: np.ndarray, az_counts: np.ndarray, az: float, el: float,
     elif mode == "bilinear":
         idx, w = [], []
         for e, wgt in ((e0, 1.0 - we), (e1, we)):
+            # ring() always yields exactly 2 entries (a count==1 ring
+            # yields its one slot twice), so idx is always length 4 here.
             for a, wa in ring(e, False):
                 idx.append((e, a))
                 w.append(wgt * wa)
-        while len(idx) < 4:  # degenerate rings (count==1) merge entries
-            idx.append(idx[-1])
-            w.append(0.0)
     else:
         raise ValueError(f"unknown interp mode {mode!r}")
     return np.array(idx, dtype=np.int64), np.array(w, dtype=np.float64)
@@ -152,7 +152,7 @@ def effective_filter(h: np.ndarray, d: np.ndarray, g: np.ndarray,
     """
     T_pad = taps + DELAY_PAD
     L = next_pow2(T_pad)
-    d = np.clip(d - ALIGN_GUARD, -ALIGN_GUARD, DELAY_PAD - 16.0)
+    d = np.clip(d - ALIGN_GUARD, -ALIGN_GUARD, MAX_RENDER_SHIFT)
     H = np.fft.rfft(h, L) * delay_ramp(L, d) * g[..., None]
     return np.fft.irfft(H, L)[..., :T_pad]
 
