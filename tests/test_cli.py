@@ -96,12 +96,17 @@ def test_circular_sweep():
 
 
 def test_circular_sweep_wraps_forward():
-    """az_end <= az_start wraps forward through 0/360 (round-5 review:
+    """az_end < az_start wraps forward through 0/360 (round-5 review:
     350→10 used to rotate 340° the long way behind the head)."""
     d = circular_sweep(5, 350.0, 10.0)
     assert np.allclose(d[:, 0], [350, 355, 0, 5, 10])
     full = circular_sweep(5, 0.0, 360.0)  # explicit full turn unchanged
     assert np.allclose(full[:, 0], [0, 90, 180, 270, 0])
+    # equal endpoints HOLD the direction (second round-5 review pass:
+    # the first fix's <= turned --start-az 90 --end-az 90 into a full
+    # revolution instead of a constant track)
+    hold = circular_sweep(5, 90.0, 90.0)
+    assert np.allclose(hold[:, 0], 90.0)
 
 
 def test_cli_hrir_sr_resamples_table(tmp_path, rng):

@@ -313,6 +313,27 @@ def test_sofa_loader_receiver_order_and_conventions(tmp_path):
     t2 = load_hrir_set(str(r), decompose=False)
     assert snr_db(h[e_i, : len(ring)], np.asarray(t2.h[0], np.float64)) > 120
 
+    # spherical RECEIVER positions in radian units, already in correct
+    # (L, R) order — L at az π/2 (y > 0), R at 3π/2. Second round-5
+    # review pass: the ear-order check read these as tiny positive
+    # degree angles (sin > 0 for both, 1.57r < 4.71r) and swapped the
+    # ears on a correctly-ordered file.
+    s = tmp_path / "radian_receiver.sofa"
+    with h5py.File(s, "w") as f:
+        f["Data.IR"] = np.stack([h[e_i, a_i] for a_i in range(len(ring))])
+        sp = f.create_dataset("SourcePosition", data=np.array(pos))
+        sp.attrs["Type"] = np.bytes_("spherical")
+        sp.attrs["Units"] = np.bytes_("degree, degree, metre")
+        rp = f.create_dataset(
+            "ReceiverPosition",
+            data=np.array([[np.pi / 2, 0.0, 0.09],
+                           [3 * np.pi / 2, 0.0, 0.09]]))
+        rp.attrs["Type"] = np.bytes_("spherical")
+        rp.attrs["Units"] = np.bytes_("radian, radian, metre")
+        f["Data.SamplingRate"] = np.array([44100.0])
+    t3 = load_hrir_set(str(s), decompose=False)
+    assert snr_db(h[e_i, : len(ring)], np.asarray(t3.h[0], np.float64)) > 120
+
 
 def test_wav_int16_rounds_not_truncates(tmp_path):
     x = np.array([0.99996, -0.99996, 1.5e-5])

@@ -210,6 +210,10 @@ def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
               if "ReceiverPosition" in f else None)
         rp_type = (_attr_str(f["ReceiverPosition"], "Type", "cartesian")
                    if rp is not None else "cartesian")
+        rp_units = (_attr_str(f["ReceiverPosition"], "Units",
+                              "metre" if "cartesian" in rp_type.lower()
+                              else "degree, degree, metre")
+                    if rp is not None else "metre")
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(f"{path}: Data.IR must be (M, 2, T)")
     if "spherical" not in sp_type.lower():
@@ -227,9 +231,13 @@ def _load_sofa(path: str) -> tuple[np.ndarray, SphericalGrid, int]:
         rp2 = rp.reshape(2, 3, -1)[:, :, 0] if rp.ndim == 3 else rp[:, :3]
         if "cartesian" in rp_type.lower():
             left_y = rp2[:, 1]
-        else:  # spherical az/el/r (degrees): y = r·sin(az)·cos(el)
-            left_y = (rp2[:, 2] * np.sin(np.deg2rad(rp2[:, 0]))
-                      * np.cos(np.deg2rad(rp2[:, 1])))
+        else:  # spherical az/el/r: y = r·sin(az)·cos(el); honor the
+            # Units attr like SourcePosition (round-5 review: a
+            # radian-unit receiver listing L at π/2, R at 3π/2 read as
+            # tiny positive degrees re-swapped the ears).
+            ang = (rp2[:, :2] if "radian" in rp_units.lower()
+                   else np.deg2rad(rp2[:, :2]))
+            left_y = rp2[:, 2] * np.sin(ang[:, 0]) * np.cos(ang[:, 1])
         if left_y[0] < left_y[1]:
             ir = ir[:, ::-1]
     # SOFA's spherical convention is counterclockwise azimuth (90° = the

@@ -632,7 +632,7 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     ``dir_rate`` (snapping below), the streams read
     ``stream_update_rate`` — see `render_streamed`'s docstring.
     """
-    from ..ops.filters import filter_partitions
+    from ..ops.filters import filter_partitions, use_matmul_partitions
     from ..ops.partitioned import (frame_spectra, overlap_save_tail,
                                    partitioned_mac, shifted_stack, tail_pair)
 
@@ -647,14 +647,11 @@ def _partitioned_core(table: HrirTable, xb: jax.Array, dirs: jax.Array,
     nb, B = xb.shape
     P = -(-(taps + DELAY_PAD) // B)
 
-    # Long-filter assembly routes to the explicit fft chain: the partition
-    # zoom matmuls grow O(taps·FL) per block and measured SLOWER than the
-    # fft chain once filters span >4 partitions (2048-tap BRIR, B=512,
-    # interleaved on-chip medians: fft 1.13 ms vs matmul 1.32 ms; B=256:
-    # 1.73 vs 1.84). "matmul" means "fastest measured", so it defers to
-    # fft in that regime; "hybrid" still forces the matmul partitions.
-    use_mm = (config.filter_path == "hybrid"
-              or (config.filter_path == "matmul" and P <= 4))
+    # Long-filter assembly routes to the explicit fft chain past 4
+    # partitions — the shared deferral rule (measurements in its
+    # docstring) lives in ops.filters so this route and the streaming
+    # step can never desynchronize.
+    use_mm = use_matmul_partitions(config.filter_path, P)
     pack = config.fft_pack != "off"
 
     from ..ops import vmem

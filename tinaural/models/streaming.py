@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..data.table import HrirTable
-from ..ops.filters import DELAY_PAD, filter_partitions
+from ..ops.filters import (DELAY_PAD, filter_partitions,
+                           use_matmul_partitions)
 from ..ops.interp import interpolate
 
 
@@ -93,17 +94,14 @@ def _filter_partitions(table: HrirTable, az, el, config: RenderConfig):
     """Direction → (P, 2, B+1) rfft spectra of the hop-partitioned
     effective filter (per-block HRTF update of BASELINE.json:11).
 
-    Same matmul-vs-fft deferral rule as `_partitioned_core`
-    (renderer.py): "matmul" means "fastest measured", and past 4
-    partitions the partition zoom matrices grow O(taps·FL) — at BRIR
-    lengths they are hundreds of MB (round-5 review: the XLA step used
-    to build them unconditionally, an HBM OOM at long taps on any shape
-    the fused step rejects), where the fft chain renders the identical
-    linear map cheaply."""
+    Shares `ops.filters.use_matmul_partitions` with `_partitioned_core`
+    (renderer.py) — round-5 review: the XLA step used to build the
+    O(taps·FL) zoom matrices unconditionally, an HBM OOM at long taps
+    on any shape the fused step rejects, where the fft chain renders
+    the identical linear map cheaply."""
     B = config.stream_block
     P = _n_parts(table, config)
-    use_mm = (config.filter_path == "hybrid"
-              or (config.filter_path == "matmul" and P <= 4))
+    use_mm = use_matmul_partitions(config.filter_path, P)
     h, d, g = interpolate(table, az, el, config)
     return filter_partitions(h, d, g, table.h.shape[-1], B,
                              use_matmul=use_mm,

@@ -37,13 +37,14 @@ def circular_sweep(n_blocks: int, az_start: float = 0.0, az_end: float = 360.0,
     """Constant-elevation azimuth sweep → (n_blocks, 2) float32.
 
     The sweep always moves FORWARD (clockwise, increasing azimuth): when
-    az_end <= az_start it wraps through 0/360 — a 350→10 sweep is the
+    az_end < az_start it wraps through 0/360 — a 350→10 sweep is the
     20° crossing through front, not a 340° revolution behind the head
     (round-5 review: the raw linspace rotated the long way around,
     inconsistent with waypoints_to_block_dirs' shortest-arc unwrap).
+    Equal endpoints hold a constant direction (not a full revolution).
     Multi-revolution sweeps pass az_end > az_start + 360; for
     counterclockwise motion use waypoints_to_block_dirs."""
-    if az_end <= az_start:
+    if az_end < az_start:
         az_end += 360.0
     az = np.linspace(az_start, az_end, n_blocks) % 360.0
     return np.stack([az, np.full(n_blocks, elevation)], axis=1).astype(np.float32)
