@@ -275,3 +275,44 @@ def test_render_batch_fft_path_avoids_vmapped_fused_epilogue(table, rng):
                                    RenderConfig(block_size=1024))
         n = min(ref.shape[-1], y.shape[-1])
         assert snr_db(ref[:, :n], y[s, :, :n]) > 60, s
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    # in-kernel BRIR assembly at L=256 (taps 128 + DELAY_PAD → n1L=2):
+    # zero Hermitian mirror groups in the inverse-L four-step
+    dict(stream_block=256, filter_path="fft", part_assembly="kernel"),
+    # non-asm partitioned step at n1p=2 (stream_block 128 → 2B=256)
+    dict(stream_block=128),
+])
+def test_small_fft_mirror_free_partitioned_shapes(table, rng, cfg_kw):
+    """Round-5 randomized audit finding: every scrambled-half four-step
+    site built its Hermitian-mirror concat unconditionally, so shapes
+    with NO mirror groups (n1 ≤ 2 — short tables through the partitioned
+    kernels, small blocks) crashed with "Need at least one array to
+    concatenate". The mirror branch must be skipped when the stored half
+    is the whole spectrum; parity defines the fix."""
+    cfg = RenderConfig(use_pallas=True, pallas_interpret=True, **cfg_kw)
+    B = cfg.stream_block
+    r = BinauralRenderer(table, cfg)
+    x = rng.standard_normal(4 * B).astype(np.float32) * 0.1
+    dirs = np.stack([np.linspace(10, 150, 4),
+                     np.zeros(4)], axis=1).astype(np.float32)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gst = golden.GoldenStream(table, config=cfg)
+    ref = np.concatenate([gst.push(b, float(a), float(e)) for b, (a, e)
+                          in zip(x.reshape(4, -1), dirs)], axis=-1)
+    assert snr_db(ref, y) > 60
+
+
+def test_small_fft_mirror_free_block_render(table, rng):
+    """Same finding, the block-render epilogue site: block_size=128
+    (n_fft=256 → n1=2) through the fused pipeline."""
+    cfg = RenderConfig(block_size=128, use_pallas=True,
+                       pallas_interpret=True)
+    nb = 8
+    x = rng.standard_normal(nb * 128).astype(np.float32) * 0.1
+    dirs = np.stack([np.linspace(250, 110, nb) % 360,
+                     np.zeros(nb)], axis=1).astype(np.float32)
+    y = np.asarray(BinauralRenderer(table, cfg).render_trajectory(x, dirs))
+    ref = golden.render_trajectory(table, x, dirs, config=cfg)
+    assert snr_db(ref, y) > 60

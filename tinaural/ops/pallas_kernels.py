@@ -540,6 +540,8 @@ def _forward_fourstep(zr, zi, n1: int, Gh: int, chunk: int,
     # C group 0: conj(T0 @ conj(Wc)); groups 1..Gh−1: conj(T[n1−kk] @ Wfc).
     U0_r = dot(T_r[0], W) + dot(T_i[0], Wi)      # T0 @ conj(Wc), real part
     U0_i = -dot(T_r[0], Wi) + dot(T_i[0], W)     # imag part
+    if Gh == 1:  # n1 = 1: group 0 is the whole spectrum, no mirror tiles
+        return Zf_r, Zf_i, U0_r, -U0_i
     Br = jnp.concatenate([T_r[n1 - kk] for kk in range(1, Gh)], axis=0)
     Bi = jnp.concatenate([T_i[n1 - kk] for kk in range(1, Gh)], axis=0)
     Wf, Wfi_ = ffr[...], ffi[...]
@@ -1351,13 +1353,14 @@ def _partitioned_conv_core(crossfade: bool, n1p: int, Ghp: int, B: int,
         Wv, Wvi = iwr[...], iwi[...]
         F1a_r = dot(Br, Wv) - dot(Bi, Wvi)
         F1a_i = dot(Br, Wvi) + dot(Bi, Wv)
-        Mr = jnp.concatenate([g(ztr, n1p - gi) for gi in range(Ghp, n1p)],
-                             axis=0)
-        Mi = jnp.concatenate([g(zti, n1p - gi) for gi in range(Ghp, n1p)],
-                             axis=0)
-        Wf, Wfi_ = ifr[...], ifi[...]
-        F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
-        F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
+        if Ghp < n1p:  # no mirror groups at n1p ≤ 2 (see _asm_filters)
+            Mr = jnp.concatenate([g(ztr, n1p - gi)
+                                  for gi in range(Ghp, n1p)], axis=0)
+            Mi = jnp.concatenate([g(zti, n1p - gi)
+                                  for gi in range(Ghp, n1p)], axis=0)
+            Wf, Wfi_ = ifr[...], ifi[...]
+            F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
+            F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
         F2 = []
         for gi in range(n1p):
             if gi < Ghp:
@@ -1495,13 +1498,16 @@ def _asm_filters(dot, chunk: int, P: int, B: int, n1p: int, Ghp: int,
     W, Wi_ = lwr[...], lwi[...]
     F1a_r = dot(Dr, W) - dot(Di, Wi_)
     F1a_i = dot(Dr, Wi_) + dot(Di, W)
-    Mr = jnp.concatenate([g(ztr, n1L - gi) for gi in range(GhL, n1L)],
-                         axis=0)
-    Mi = jnp.concatenate([g(zti, n1L - gi) for gi in range(GhL, n1L)],
-                         axis=0)
-    Wf, Wfi_ = lfr[...], lfi[...]
-    F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
-    F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
+    if GhL < n1L:  # reconstruct the Hermitian mirror groups (none exist
+        # at n1L ≤ 2 — the stored half IS the whole spectrum there, and
+        # the gi ≥ GhL branch below never fires)
+        Mr = jnp.concatenate([g(ztr, n1L - gi) for gi in range(GhL, n1L)],
+                             axis=0)
+        Mi = jnp.concatenate([g(zti, n1L - gi) for gi in range(GhL, n1L)],
+                             axis=0)
+        Wf, Wfi_ = lfr[...], lfi[...]
+        F1b_r = dot(Mr, Wf) - dot(Mi, Wfi_)
+        F1b_i = dot(Mr, Wfi_) + dot(Mi, Wf)
     F2 = []
     for gi in range(n1L):
         if gi < GhL:
@@ -2502,11 +2508,14 @@ def _inverse_ola_core(n1: int, Gh: int, B: int, k_ola: int, chunk: int,
     W, Wi = wr_ref[...], wi_ref[...]
     F1a_r = dot(Ar, W) - dot(Ai, Wi)
     F1a_i = dot(Ar, Wi) + dot(Ai, W)
-    Br = jnp.concatenate([g(ztr, n1 - gi) for gi in range(Gh, n1)], axis=0)
-    Bi = jnp.concatenate([g(zti, n1 - gi) for gi in range(Gh, n1)], axis=0)
-    Wf, Wfi = wfr_ref[...], wfi_ref[...]
-    F1b_r = dot(Br, Wf) - dot(Bi, Wfi)
-    F1b_i = dot(Br, Wfi) + dot(Bi, Wf)
+    if Gh < n1:  # no mirror groups at n1 ≤ 2 (see _asm_filters)
+        Br = jnp.concatenate([g(ztr, n1 - gi) for gi in range(Gh, n1)],
+                             axis=0)
+        Bi = jnp.concatenate([g(zti, n1 - gi) for gi in range(Gh, n1)],
+                             axis=0)
+        Wf, Wfi = wfr_ref[...], wfi_ref[...]
+        F1b_r = dot(Br, Wf) - dot(Bi, Wfi)
+        F1b_i = dot(Br, Wfi) + dot(Bi, Wf)
 
     # stage 2: per-group twiddle rows (broadcast along sublanes)
     F2r, F2i = [], []
