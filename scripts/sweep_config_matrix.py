@@ -43,8 +43,8 @@ def sample_config(rng: random.Random) -> RenderConfig:
         interp=rng.choice(["nearest", "bilinear"]),
         apply_itd=rng.choice([True, False]),
         apply_ild=rng.choice([True, False]),
-        block_size=rng.choice([512, 1024]),
-        stream_block=rng.choice([256, 512]),
+        block_size=rng.choice([128, 256, 512, 1024]),
+        stream_block=rng.choice([128, 256, 512]),
         crossfade=rng.choice([True, False]),
         scene_chunk=rng.choice([4, 8]),
         filter_path=rng.choice(["matmul", "hybrid", "fft"]),

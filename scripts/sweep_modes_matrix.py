@@ -46,8 +46,8 @@ def sample_config(rng: random.Random) -> RenderConfig:
         interp=rng.choice(["nearest", "bilinear"]),
         apply_itd=rng.choice([True, False]),
         apply_ild=rng.choice([True, False]),
-        block_size=rng.choice([512, 1024]),
-        stream_block=rng.choice([256, 512]),
+        block_size=rng.choice([256, 512, 1024]),
+        stream_block=rng.choice([128, 256, 512]),
         crossfade=rng.choice([True, False]),
         scene_chunk=rng.choice([4, 8]),
         filter_path=rng.choice(["matmul", "hybrid", "fft"]),
@@ -69,7 +69,8 @@ def main() -> int:
     rng = random.Random(seed)
     nprng = np.random.default_rng(seed)
 
-    tables = {t: load_hrir_set("synthetic", taps=t) for t in (128, 512, 2048)}
+    tables = {t: load_hrir_set("synthetic", taps=t)
+              for t in (64, 128, 512, 2048)}
     failures = []
 
     for i in range(n):
@@ -93,7 +94,8 @@ def main() -> int:
             checks.append((f"scene_moving_dedupe={dd}", snr_db(yg, yj)))
 
         # BRIR-length trajectory (partitioned core; part_assembly routing)
-        taps = rng.choice([512, 2048])
+        # — plus the short-table L=128/256 mirror-free corners
+        taps = rng.choice([64, 512, 2048])
         bt = tables[taps]
         nb = 4
         x = nprng.standard_normal(nb * cfg.block_size).astype(np.float32) * 0.1

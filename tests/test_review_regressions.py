@@ -304,6 +304,25 @@ def test_small_fft_mirror_free_partitioned_shapes(table, rng, cfg_kw):
     assert snr_db(ref, y) > 60
 
 
+def test_short_table_l128_asm_route(rng):
+    """Same finding, the n1L=1 extreme: a 64-tap table (L = 128, one
+    lane group — `_forward_fourstep`'s mirror tile is group 0 alone)
+    through the in-kernel partitioned assembly."""
+    t64 = load_hrir_set("synthetic", taps=64)
+    cfg = RenderConfig(stream_block=256, filter_path="fft",
+                       part_assembly="kernel", use_pallas=True,
+                       pallas_interpret=True)
+    r = BinauralRenderer(t64, cfg)
+    x = rng.standard_normal(4 * 256).astype(np.float32) * 0.1
+    dirs = np.stack([np.linspace(10, 150, 4),
+                     np.zeros(4)], axis=1).astype(np.float32)
+    y = np.asarray(r.render_streamed(x, dirs))
+    gst = golden.GoldenStream(t64, config=cfg)
+    ref = np.concatenate([gst.push(b, float(a), float(e)) for b, (a, e)
+                          in zip(x.reshape(4, -1), dirs)], axis=-1)
+    assert snr_db(ref, y) > 60
+
+
 def test_small_fft_mirror_free_block_render(table, rng):
     """Same finding, the block-render epilogue site: block_size=128
     (n_fft=256 → n1=2) through the fused pipeline."""
