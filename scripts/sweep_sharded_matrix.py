@@ -51,8 +51,8 @@ def sample_config(rng: random.Random) -> RenderConfig:
         interp=rng.choice(["nearest", "bilinear"]),
         apply_itd=rng.choice([True, False]),
         apply_ild=rng.choice([True, False]),
-        block_size=rng.choice([512, 1024]),
-        stream_block=rng.choice([256, 512]),
+        block_size=rng.choice([128, 512, 1024]),
+        stream_block=rng.choice([128, 256, 512]),
         crossfade=rng.choice([True, False]),
         filter_path=rng.choice(["matmul", "hybrid", "fft"]),
         use_pallas=rng.choice([True, False]),
